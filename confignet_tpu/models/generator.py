@@ -1,0 +1,180 @@
+"""HoloGAN-style volumetric generator.
+
+Architecture (reference: confignet/dnn_models/hologan_generator.py):
+
+1. A learned constant (4, 4, 4, 512) input.  The reference produces it with a
+   Dense layer (zero kernel, ones bias) applied to a zeros vector
+   (hologan_generator.py:23-27,133-136); the kernel provably receives zero
+   gradient forever, so here it is a plain learned parameter initialized to
+   ones — mathematically identical, one fewer dead matmul.
+2. Nearest 2x 3D upsample, two Conv3D+AdaIN blocks (256 -> 128 channels) with
+   an upsample in between -> a (16, 16, 16, 128) feature volume.
+3. The volume is rotated by per-sample Euler angles via trilinear resampling.
+4. "Rendering": two plain Conv3D(64)+LeakyReLU layers, a depth-collapse
+   reshape to (16, 16, 16*64), a 1x1 Conv2D projection to 512 channels with
+   leaky_relu(0.2) (hologan_generator.py:49-56,151-157).
+5. A 2D Conv+AdaIN/upsample chain 256 -> 64 -> 32 channels (to 128 px), plus
+   one extra 32-channel block for >128 px and a 16-channel block for >256 px
+   (hologan_generator.py:83-99,159-170).
+6. Final Conv2D(3, 4x4) with tanh.
+
+The latent can be a single vector (used for every AdaIN) or a 5-way list
+feeding [z_3d_0, z_3d_1, z_2d_0, z_2d_1, z_2d_2]
+(hologan_generator.py:109-127).
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from confignet_tpu.core.transforms import euler_angles_to_matrix, rotate_3d_grid
+from confignet_tpu.models.blocks import KERNEL_INIT, BIAS_INIT, ConvAdaIN, leaky_relu
+from confignet_tpu.ops.resample import upsample2d_nearest, upsample3d_nearest
+
+LatentInput = Union[jax.Array, Sequence[jax.Array], Dict[str, jax.Array]]
+
+_Z_KEYS = ("z_3d_0", "z_3d_1", "z_2d_0", "z_2d_1", "z_2d_2")
+
+
+def build_input_dict(latent_vector, rotation) -> Dict[str, jax.Array]:
+    """Map a single latent (or 5-way latent list) + rotation to per-block
+    inputs (reference: hologan_generator.py:109-127)."""
+    input_dict = {}
+    if isinstance(latent_vector, (list, tuple)):
+        for key, z in zip(_Z_KEYS, latent_vector):
+            input_dict[key] = z
+    else:
+        for key in _Z_KEYS:
+            input_dict[key] = latent_vector
+    input_dict["rotation"] = rotation
+    return input_dict
+
+
+class HologanGenerator(nn.Module):
+    latent_dim: int
+    output_shape: Sequence[int]  # (H, W)
+    n_adain_mlp_units: int = 128
+    n_adain_mlp_layers: int = 2
+    gen_output_activation: str = "tanh"
+    const_shape: Sequence[int] = (4, 4, 4, 512)
+    n_features_first: int = 256
+    dtype: Optional[jnp.dtype] = None
+
+    def _conv_adain_3d(self, features: int, name: str) -> ConvAdaIN:
+        return ConvAdaIN(
+            num_feature_maps=features,
+            kernel_size=3,
+            rank=3,
+            mlp_num_units=self.n_adain_mlp_units,
+            mlp_num_layers=self.n_adain_mlp_layers,
+            dtype=self.dtype,
+            name=name,
+        )
+
+    def _conv_adain_2d(self, features: int, name: str) -> ConvAdaIN:
+        return ConvAdaIN(
+            num_feature_maps=features,
+            kernel_size=4,
+            rank=2,
+            mlp_num_units=self.n_adain_mlp_units,
+            mlp_num_layers=self.n_adain_mlp_layers,
+            dtype=self.dtype,
+            name=name,
+        )
+
+    @nn.compact
+    def __call__(self, inputs: LatentInput, rotation: Optional[jax.Array] = None) -> jax.Array:
+        if isinstance(inputs, dict):
+            input_dict = inputs
+        else:
+            if rotation is None:
+                # A (latent, rotation) pair packed in one argument.
+                latent_vector, rotation = inputs[0], inputs[1]
+            else:
+                latent_vector = inputs
+            input_dict = build_input_dict(latent_vector, rotation)
+
+        batch = input_dict["z_3d_0"].shape[0]
+        nf = self.n_features_first
+
+        const = self.param(
+            "learned_input",
+            nn.initializers.ones,
+            (int(np.prod(self.const_shape)),),
+        )
+        x = jnp.broadcast_to(const, (batch,) + tuple([int(np.prod(self.const_shape))]))
+        x = jnp.reshape(x, (batch,) + tuple(self.const_shape))
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+
+        x = upsample3d_nearest(x)
+        x = self._conv_adain_3d(nf, "map_3d_0")(x, input_dict["z_3d_0"])
+        x = upsample3d_nearest(x)
+        x = self._conv_adain_3d(nf // 2, "map_3d_1")(x, input_dict["z_3d_1"])
+
+        # Rotate the feature volume in 3D.  The resample runs in float32 for
+        # parity with the reference's explicit cast
+        # (confignet_utils.py:75-76), then returns to the compute dtype.
+        transforms = euler_angles_to_matrix(input_dict["rotation"])
+        x = rotate_3d_grid(x.astype(jnp.float32), transforms)
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+
+        # 'Rendering' layers.
+        for i in range(2):
+            x = nn.Conv(
+                nf // 4,
+                (3, 3, 3),
+                padding="SAME",
+                kernel_init=KERNEL_INIT,
+                bias_init=BIAS_INIT,
+                dtype=self.dtype,
+                name=f"map_3d_post_{i}",
+            )(x)
+            x = leaky_relu(x, 0.3)
+
+        b, d, h, w, c = x.shape
+        x = jnp.reshape(x, (b, d, h, w * c))
+
+        x = nn.Conv(
+            512,
+            (1, 1),
+            padding="SAME",
+            kernel_init=KERNEL_INIT,
+            bias_init=BIAS_INIT,
+            dtype=self.dtype,
+            name="projection_conv",
+        )(x)
+        x = leaky_relu(x, 0.2)  # tf.nn.leaky_relu default
+
+        x = self._conv_adain_2d(nf, "map_2d_0")(x, input_dict["z_2d_0"])
+        x = upsample2d_nearest(x)
+        x = self._conv_adain_2d(nf // 4, "map_2d_1")(x, input_dict["z_2d_1"])
+        x = upsample2d_nearest(x)
+        x = self._conv_adain_2d(nf // 8, "map_2d_2")(x, input_dict["z_2d_2"])
+        x = upsample2d_nearest(x)
+        if self.output_shape[0] > 128:
+            x = self._conv_adain_2d(nf // 8, "map_2d_2b")(x, input_dict["z_2d_2"])
+            x = upsample2d_nearest(x)
+        if self.output_shape[0] > 256:
+            x = self._conv_adain_2d(nf // 16, "map_2d_2c")(x, input_dict["z_2d_2"])
+            x = upsample2d_nearest(x)
+
+        x = nn.Conv(
+            3,
+            (4, 4),
+            padding="SAME",
+            kernel_init=KERNEL_INIT,
+            bias_init=BIAS_INIT,
+            dtype=self.dtype,
+            name="map_final",
+        )(x)
+        if self.gen_output_activation == "tanh":
+            x = jnp.tanh(x)
+        elif self.gen_output_activation not in (None, "linear"):
+            raise ValueError(f"unknown output activation {self.gen_output_activation!r}")
+        return x
