@@ -1,0 +1,106 @@
+"""Training observability: loss-history tracking and the reference's logging
+sinks (matplotlib loss grids, plaintext dumps, TensorBoard scalars/images).
+
+Reference counterparts: confignet/confignet_utils.py:206-241 (loss dict
+update + log_loss_vals), confignet/azure_ml_utils.py (AML sink — here an
+optional generic callback).
+"""
+from __future__ import annotations
+
+import os
+from typing import Callable, Dict, List, Optional
+
+import numpy as np
+
+
+def update_loss_dict(main_loss_dict: Dict[str, List[float]], new_losses: Dict[str, object]) -> None:
+    """Append scalar values of ``new_losses`` to the running history."""
+    for key, val in new_losses.items():
+        val = float(val)
+        main_loss_dict.setdefault(key, []).append(val)
+
+
+class TensorBoardWriter:
+    """Thin optional wrapper over tf.summary; silently no-ops when TF is
+    unavailable."""
+
+    def __init__(self, log_dir: str):
+        self._writer = None
+        try:
+            import tensorflow as tf  # type: ignore
+
+            self._writer = tf.summary.create_file_writer(log_dir)
+            self._tf = tf
+        except Exception:
+            self._tf = None
+
+    def scalar(self, tag: str, value: float, step: int) -> None:
+        if self._writer is None:
+            return
+        with self._writer.as_default():
+            self._tf.summary.scalar(tag, float(value), step=step)
+
+    def image(self, tag: str, image_bgr_uint8: np.ndarray, step: int) -> None:
+        if self._writer is None:
+            return
+        rgb = image_bgr_uint8[..., ::-1]
+        with self._writer.as_default():
+            self._tf.summary.image(tag, rgb[np.newaxis], step=step)
+
+
+def draw_loss_grid(losses: List[List[float]], loss_names: List[str], pix_per_plot: int = 300):
+    """Square grid of semilog loss curves (reference: confignet_utils.py:23-37)."""
+    from matplotlib import pyplot as plt
+
+    n_losses = len(loss_names)
+    square = int(np.ceil(np.sqrt(max(n_losses, 1))))
+    dpi = 100
+    pix = square * pix_per_plot
+    plt.figure(figsize=(pix // dpi, pix // dpi), dpi=dpi)
+    for i in range(n_losses):
+        plt.subplot(square, square, i + 1)
+        plt.title(loss_names[i])
+        plt.semilogy(losses[i])
+    plt.tight_layout()
+
+
+def log_loss_vals(
+    loss_dict: Dict[str, List[float]],
+    output_dir: str,
+    step_number: int,
+    prefix: str,
+    tb_writer: Optional[TensorBoardWriter] = None,
+    extra_sink: Optional[Callable[[str, float], None]] = None,
+    draw_plots: bool = True,
+) -> None:
+    """Write the loss history to PNG grids, a txt table, TensorBoard and an
+    optional extra sink (the AML analog)."""
+    os.makedirs(output_dir, exist_ok=True)
+    loss_names = list(loss_dict.keys())
+    loss_vals = list(loss_dict.values())
+    if not loss_names:
+        return
+    most_recent = [v[-1] for v in loss_vals]
+
+    if extra_sink is not None:
+        for name, value in zip(loss_names, most_recent):
+            extra_sink(prefix + name, value)
+    elif draw_plots:
+        from matplotlib import pyplot as plt
+
+        draw_loss_grid(loss_vals, loss_names)
+        plt.savefig(os.path.join(output_dir, prefix + "losses.png"))
+        plt.close()
+        if "loss_sum" in loss_dict:
+            plt.semilogy(loss_dict["loss_sum"])
+            plt.savefig(os.path.join(output_dir, prefix + "loss_sum.png"))
+            plt.close()
+
+    if tb_writer is not None:
+        tb_prefix = prefix[::-1].replace("_", "/", 1)[::-1]
+        for name, value in zip(loss_names, most_recent):
+            tb_writer.scalar(tb_prefix + name, value, step_number)
+
+    table = np.stack([np.asarray(v, dtype=np.float64) for v in loss_vals], axis=1)
+    header = "\t".join(loss_names)
+    np.savetxt(os.path.join(output_dir, prefix + "losses.txt"), table, header=header)

@@ -1,0 +1,73 @@
+"""Checkpoint IO: self-describing model files.
+
+Format (mirrors the reference's npz+json+pck convention,
+confignet_first_stage.py:173-206, with pytree-path keys instead of opaque
+Keras weight-list ordering):
+
+- ``<name>.json``   — the full merged config, incl. ``model_type``.
+- ``<name>.npz``    — every parameter, keyed ``<tree>/<flattened/path>``.
+- ``<name>_facemodel_distr.pck`` — pickled sampling distributions.
+- ``<name>_log.json`` — loss/metric history (optional).
+
+``load_confignet`` dispatches on the saved ``model_type`` like the
+reference's polymorphic loader (confignet_utils.py:14-21).
+"""
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict
+
+import numpy as np
+from flax import traverse_util
+
+
+def flatten_param_trees(trees: Dict[str, Any]) -> Dict[str, np.ndarray]:
+    """{"generator": pytree, ...} -> {"generator/path/to/leaf": ndarray}."""
+    flat: Dict[str, np.ndarray] = {}
+    for tree_name, tree in trees.items():
+        if tree is None:
+            continue
+        for path, leaf in traverse_util.flatten_dict(tree).items():
+            key = tree_name + "/" + "/".join(str(p) for p in path)
+            flat[key] = np.asarray(leaf)
+    return flat
+
+
+def unflatten_param_trees(flat: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """Inverse of :func:`flatten_param_trees`."""
+    grouped: Dict[str, Dict] = {}
+    for key, value in flat.items():
+        tree_name, _, rest = key.partition("/")
+        grouped.setdefault(tree_name, {})[tuple(rest.split("/"))] = np.asarray(value)
+    return {name: traverse_util.unflatten_dict(paths) for name, paths in grouped.items()}
+
+
+def save_model_weights(trees: Dict[str, Any], output_dir: str, output_filename: str) -> str:
+    os.makedirs(output_dir, exist_ok=True)
+    path = os.path.join(output_dir, output_filename + ".npz")
+    np.savez(path, **flatten_param_trees(trees))
+    return path
+
+
+def load_model_weights(npz_path: str) -> Dict[str, Any]:
+    with np.load(npz_path, allow_pickle=False) as data:
+        return unflatten_param_trees({k: data[k] for k in data.files})
+
+
+def load_confignet(model_path: str):
+    """Load any saved model (ConfigNet, ConfigNetFirstStage) by its
+    ``model_type`` field."""
+    with open(model_path, "r") as fp:
+        metadata = json.load(fp)
+    model_type = metadata["model_type"]
+
+    if model_type == "ConfigNetFirstStage":
+        from confignet_tpu.training.first_stage import ConfigNetFirstStage
+
+        return ConfigNetFirstStage.load(model_path)
+    if model_type == "ConfigNet":
+        from confignet_tpu.training.second_stage import ConfigNet
+
+        return ConfigNet.load(model_path)
+    raise ValueError(f"unknown model_type {model_type!r} in {model_path}")

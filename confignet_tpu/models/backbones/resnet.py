@@ -1,0 +1,122 @@
+"""ResNet50 backbone (Keras-v1 layout) for the real-image encoder.
+
+Reference use: confignet/dnn_models/real_encoder.py:13 constructs Keras
+``ResNet50(include_top=False, pooling="avg")``.  Architecture notes for
+weight compatibility with the Keras implementation:
+
+- stem: 7x7/2 conv (64) -> BN -> ReLU -> 3x3/2 max pool;
+- 4 stages of bottleneck blocks [3, 4, 6, 3], base widths (64, 128, 256,
+  512), expansion 4; the FIRST block of each stage has a projection
+  shortcut, stages 2-4 downsample with stride 2 in the block's first conv
+  (Keras v1 convention);
+- batch norm runs in inference mode (scale/offset trainable, moving stats
+  frozen) — matching how the reference's encoder behaves when called inside
+  its training loop.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from confignet_tpu.models.blocks import BIAS_INIT, KERNEL_INIT
+
+
+class FrozenBatchNorm(nn.Module):
+    """Inference-mode batch norm: y = scale * (x - mean) / sqrt(var + eps) + bias.
+    ``mean``/``var`` are parameters so they checkpoint/restore with the rest,
+    but receive no gradient in practice (they only enter linearly and are
+    never updated by any optimizer we build for them)."""
+
+    features: int
+    eps: float = 1.001e-5  # Keras ResNet epsilon
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        scale = self.param("gamma", nn.initializers.ones, (self.features,))
+        bias = self.param("beta", nn.initializers.zeros, (self.features,))
+        mean = self.param("moving_mean", nn.initializers.zeros, (self.features,))
+        var = self.param("moving_variance", nn.initializers.ones, (self.features,))
+        inv = jax.lax.rsqrt(var + self.eps) * scale
+        return x * inv + (bias - mean * inv)
+
+
+class BottleneckBlock(nn.Module):
+    width: int
+    stride: int = 1
+    project_shortcut: bool = False
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        shortcut = x
+        if self.project_shortcut:
+            shortcut = nn.Conv(
+                self.width * 4, (1, 1), strides=(self.stride, self.stride),
+                kernel_init=KERNEL_INIT, bias_init=BIAS_INIT, dtype=self.dtype, name="shortcut_conv",
+            )(x)
+            shortcut = FrozenBatchNorm(self.width * 4, name="shortcut_bn")(shortcut)
+
+        y = nn.Conv(
+            self.width, (1, 1), strides=(self.stride, self.stride),
+            kernel_init=KERNEL_INIT, bias_init=BIAS_INIT, dtype=self.dtype, name="conv1",
+        )(x)
+        y = FrozenBatchNorm(self.width, name="bn1")(y)
+        y = jax.nn.relu(y)
+        y = nn.Conv(
+            self.width, (3, 3), padding="SAME",
+            kernel_init=KERNEL_INIT, bias_init=BIAS_INIT, dtype=self.dtype, name="conv2",
+        )(y)
+        y = FrozenBatchNorm(self.width, name="bn2")(y)
+        y = jax.nn.relu(y)
+        y = nn.Conv(
+            self.width * 4, (1, 1),
+            kernel_init=KERNEL_INIT, bias_init=BIAS_INIT, dtype=self.dtype, name="conv3",
+        )(y)
+        y = FrozenBatchNorm(self.width * 4, name="bn3")(y)
+        return jax.nn.relu(y + shortcut)
+
+
+class ResNet50(nn.Module):
+    """Returns globally average-pooled 2048-dim features."""
+
+    dtype: Optional[jnp.dtype] = None
+    stage_sizes: Sequence[int] = (3, 4, 6, 3)
+    stage_widths: Sequence[int] = (64, 128, 256, 512)
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        x = jnp.pad(x, ((0, 0), (3, 3), (3, 3), (0, 0)))
+        x = nn.Conv(
+            64, (7, 7), strides=(2, 2), padding="VALID",
+            kernel_init=KERNEL_INIT, bias_init=BIAS_INIT, dtype=self.dtype, name="stem_conv",
+        )(x)
+        x = FrozenBatchNorm(64, name="stem_bn")(x)
+        x = jax.nn.relu(x)
+        x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), constant_values=-jnp.inf)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="VALID")
+
+        for stage, (n_blocks, width) in enumerate(zip(self.stage_sizes, self.stage_widths)):
+            for block in range(n_blocks):
+                stride = 2 if (stage > 0 and block == 0) else 1
+                x = BottleneckBlock(
+                    width=width,
+                    stride=stride,
+                    project_shortcut=(block == 0),
+                    dtype=self.dtype,
+                    name=f"stage{stage + 1}_block{block + 1}",
+                )(x)
+
+        return jnp.mean(x, axis=(1, 2))
+
+
+def resnet50_preprocess(images_unit_range: jax.Array) -> jax.Array:
+    """[-1,1] -> Keras ResNet50 'caffe' preprocessing
+    (reference: real_encoder.py:24-25): scale to [0,255], reverse channels,
+    subtract BGR ImageNet means."""
+    x = (images_unit_range + 1.0) * 127.5
+    x = x[..., ::-1]
+    mean = jnp.asarray([103.939, 116.779, 123.68], dtype=x.dtype)
+    return x - mean

@@ -1,0 +1,44 @@
+"""Real-image encoder: ResNet50 trunk + rotation and embedding heads.
+
+Reference: confignet/dnn_models/real_encoder.py.  The rotation head is a
+Dense(3) with tanh scaled to the configured rotation ranges; the embedding
+head is a Dense(latent_dim) over the pooled features.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from confignet_tpu.models.backbones.resnet import ResNet50, resnet50_preprocess
+from confignet_tpu.models.blocks import BIAS_INIT, KERNEL_INIT
+
+
+class RealEncoder(nn.Module):
+    latent_dim: int
+    rotation_ranges: Sequence[Sequence[float]]  # degrees, ((..),(..),(..))
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, input_img: jax.Array) -> Tuple[jax.Array, jax.Array]:
+        features = ResNet50(dtype=self.dtype, name="resnet")(resnet50_preprocess(input_img))
+
+        raw_rotation = nn.Dense(
+            3, kernel_init=KERNEL_INIT, bias_init=BIAS_INIT, dtype=self.dtype,
+            name="rotation_regressor",
+        )(features)
+        raw_rotation = jnp.tanh(raw_rotation)
+        multiplier = np.pi * np.asarray(
+            [self.rotation_ranges[0][1], self.rotation_ranges[1][1], self.rotation_ranges[2][1]],
+            np.float32,
+        ) / 180.0
+        scaled_rotation = raw_rotation * jnp.asarray(multiplier)
+
+        embedding = nn.Dense(
+            self.latent_dim, kernel_init=KERNEL_INIT, bias_init=BIAS_INIT, dtype=self.dtype,
+            name="feature_to_latent",
+        )(features)
+        return embedding, scaled_rotation

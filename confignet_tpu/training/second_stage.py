@@ -1,0 +1,644 @@
+"""ConfigNet second stage: the full model with the real-image encoder.
+
+Reference: confignet/confignet_second_stage.py.  On top of the first stage:
+
+- adds the ResNet50 ``RealEncoder`` (trained jointly in the G step, matching
+  confignet_second_stage.py:213-214) and a VGGFace perceptual loss;
+- the G step autoencodes real images (encoder -> generator) with image loss
+  on both domains; the latent discriminator now sees encoder latents vs
+  synthetic-encoder latents;
+- the latent regression loss is variance-normalized;
+- adds one-shot fine-tuning (``fine_tune_on_img``) where a fresh generator
+  copy plus split embedding segments (pre-expression / expression /
+  post-expression) and rotations are optimized against perceptual + GAN
+  losses — here as a jitted optax step per iteration.
+
+Everything (D, synth-D, latent-D, G + encoder, EMA) remains ONE fused jitted
+train step, data-parallel over the mesh.
+"""
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from confignet_tpu.core.images import batched_hflip, build_image_matrix, unit_range_to_uint8
+from confignet_tpu.core.logging_utils import log_loss_vals
+from confignet_tpu.losses import (
+    compute_discriminator_loss,
+    compute_latent_discriminator_loss,
+    eye_loss,
+    gan_d_loss,
+    gan_g_loss,
+    normalized_latent_regression_loss,
+)
+from confignet_tpu.losses.perceptual import PerceptualLoss
+from confignet_tpu.models.generator import HologanGenerator
+from confignet_tpu.models.real_encoder import RealEncoder
+from confignet_tpu.training.first_stage import ConfigNetFirstStage, FirstStageState
+from confignet_tpu.training.state import Player, ema_update
+
+
+class ConfigNet(ConfigNetFirstStage):
+    MODEL_TYPE = "ConfigNet"
+
+    def __init__(self, config: Dict[str, Any], initialize: bool = True):
+        self._fine_tuned_generator_params = None
+        super().__init__(config, initialize=initialize)
+        self.config["model_type"] = self.MODEL_TYPE
+        self.controllability_metrics = None
+        self.perceptual_loss_face_reco = PerceptualLoss(
+            tuple(self.config["output_shape"]),
+            model_type="VGGFace",
+            taps=self.config.get("perceptual_taps"),
+        )
+        self._encode_fn = None
+        self._fine_tune_fns: Dict[bool, Any] = {}
+
+    # ------------------------------------------------------------------
+
+    def initialize_network(self) -> None:
+        super().initialize_network()
+        self.encoder_module = RealEncoder(
+            latent_dim=self.config["latent_dim"],
+            rotation_ranges=tuple(tuple(r) for r in self.config["rotation_ranges"]),
+            dtype=self.compute_dtype,
+        )
+        img1 = jnp.zeros((1, *self.config["output_shape"]), jnp.float32)
+        enc_params = jax.jit(self.encoder_module.init)(self.keychain.next(), img1)["params"]
+
+        # The encoder joins the generator player so the G step optimizes it
+        # jointly (reference: confignet_second_stage.py:213-214).
+        gen_player_params = dict(self.state.generator.params)
+        gen_player_params["real_encoder"] = enc_params
+        self.state = FirstStageState(
+            generator=Player.create(gen_player_params, self.generator_tx),
+            discriminator=self.state.discriminator,
+            synth_discriminator=self.state.synth_discriminator,
+            latent_discriminator=self.state.latent_discriminator,
+            generator_smoothed=self.state.generator_smoothed,
+        )
+
+    def _encoder_apply(self, params, imgs):
+        return self.encoder_module.apply({"params": params}, imgs)
+
+    # ------------------------------------------------------------------
+    # Weights IO (adds the encoder tree; accepts stage-1 weight dicts)
+    # ------------------------------------------------------------------
+
+    def get_weights(self) -> Dict[str, Any]:
+        weights = super().get_weights()
+        weights["real_encoder"] = jax.device_get(self.state.generator.params["real_encoder"])
+        return weights
+
+    def set_weights(self, weights: Dict[str, Any]) -> None:
+        """Accepts either full ConfigNet weights or first-stage weights (no
+        ``real_encoder`` key), in which case the current encoder params are
+        kept — this is the stage-1 -> stage-2 transfer path
+        (reference: train_confignet.py:69)."""
+        current_encoder = jax.device_get(self.state.generator.params["real_encoder"])
+        super().set_weights(weights)
+        as_jnp = lambda t: jax.tree_util.tree_map(jnp.asarray, t)
+        encoder = weights.get("real_encoder", current_encoder)
+        gen_player_params = dict(self.state.generator.params)
+        gen_player_params["real_encoder"] = as_jnp(encoder)
+        self.state = self.state.replace(
+            generator=Player.create(gen_player_params, self.generator_tx)
+        )
+
+    # ------------------------------------------------------------------
+    # Fused train step (stage-2 semantics)
+    # ------------------------------------------------------------------
+
+    def _build_train_step(self):
+        cfg = self.config
+        w_img = cfg["image_loss_weight"]
+        w_eye = cfg["eye_loss_weight"]
+        w_dom = cfg["domain_adverserial_loss_weight"]
+        w_reg = cfg["latent_regression_weight"]
+        w_rot = cfg["latent_regressor_rot_weight"]
+
+        def g_step_losses(gen_player_params, disc_params, synth_disc_params,
+                          latent_disc_params, vgg_params, vggface_params, batch, flip_mask):
+            losses = {}
+            synth_latents = self._synth_enc_apply(
+                gen_player_params["synthetic_encoder"], batch["g_facemodel"]
+            )
+            out_synth = self._gen_apply(
+                gen_player_params["generator"], synth_latents, batch["g_rotations"]
+            )
+
+            real_imgs = self._to_unit_range(batch["g_real_imgs"])
+            real_imgs = batched_hflip(real_imgs, flip_mask)
+            real_latents, real_rotations = self._encoder_apply(
+                gen_player_params["real_encoder"], real_imgs
+            )
+            out_real = self._gen_apply(gen_player_params["generator"], real_latents, real_rotations)
+
+            gt_synth = self._to_unit_range(batch["g_gt_imgs"])
+            losses["image_loss_synth"] = w_img * self.perceptual_loss.loss_fn(
+                vgg_params, gt_synth, out_synth
+            )
+            losses["image_loss_real"] = w_img * self.perceptual_loss.loss_fn(
+                vgg_params, real_imgs, out_real
+            )
+            losses["eye_loss"] = w_eye * eye_loss(gt_synth, out_synth, batch["g_eye_masks"])
+
+            for i, head in enumerate(self._synth_disc_apply(synth_disc_params, out_synth).values()):
+                losses[f"GAN_loss_synth_{i}"] = gan_g_loss(head)
+            for i, head in enumerate(self._disc_apply(disc_params, out_real).values()):
+                losses[f"GAN_loss_real_{i}"] = gan_g_loss(head)
+
+            # Domain-adversarial loss: encoder latents should look "synthetic"
+            # and vice versa (labels real->0, synth->1;
+            # reference: confignet_second_stage.py:160-199).
+            ld_out_synth = self._latent_disc_apply(latent_disc_params, synth_latents)
+            ld_out_real = self._latent_disc_apply(latent_disc_params, real_latents)
+            ld_out = jnp.concatenate([ld_out_real, ld_out_synth], axis=0)
+            labels = jnp.concatenate(
+                [jnp.zeros_like(ld_out_real), jnp.ones_like(ld_out_synth)], axis=0
+            )
+            losses["latent_GAN_loss"] = w_dom * gan_d_loss(labels, ld_out)
+
+            if w_reg > 0.0:
+                stacked_latents = jnp.concatenate([synth_latents, real_latents], axis=0)
+                stacked_outputs = jnp.concatenate([out_synth, out_real], axis=0)
+                stacked_rotations = jnp.concatenate(
+                    [batch["g_rotations"], real_rotations], axis=0
+                )
+                labels = jnp.concatenate(
+                    [stacked_latents, w_rot * stacked_rotations], axis=-1
+                )
+                reg_out = self._regressor_apply(
+                    gen_player_params["latent_regressor"], stacked_outputs
+                )
+                losses["latent_regression_loss"] = normalized_latent_regression_loss(
+                    reg_out, labels, w_reg
+                )
+
+            losses["loss_sum"] = sum(losses.values())
+            return losses["loss_sum"], losses
+
+        def train_step(state: FirstStageState, key, batch, vgg_params, vggface_params):
+            keys = jax.random.split(key, 8)
+            batch_size = batch["d_real_imgs"].shape[0]
+
+            # ---- image-discriminator: real vs G(encode(real)) ----
+            real_imgs = self._to_unit_range(batch["d_real_imgs"])
+            real_imgs = batched_hflip(real_imgs, jax.random.bernoulli(keys[0], 0.5, (batch_size,)))
+            input_imgs = self._to_unit_range(batch["d_input_imgs"])
+            enc_latents, enc_rotations = self._encoder_apply(
+                state.generator.params["real_encoder"], input_imgs
+            )
+            fake_imgs = self._gen_apply(
+                state.generator.params["generator"], enc_latents, enc_rotations
+            )
+
+            def d_loss(params):
+                losses = compute_discriminator_loss(
+                    lambda x: self._disc_apply(params, x), real_imgs, fake_imgs
+                )
+                return losses["loss_sum"], losses
+
+            (_, d_losses), d_grads = jax.value_and_grad(d_loss, has_aux=True)(
+                state.discriminator.params
+            )
+            new_discriminator = state.discriminator.apply_gradients(d_grads, self.discriminator_tx)
+
+            # ---- synth-discriminator (same as stage 1) ----
+            synth_real = self._to_unit_range(batch["synth_d_real_imgs"])
+            synth_real = batched_hflip(synth_real, jax.random.bernoulli(keys[1], 0.5, (batch_size,)))
+            synth_latents_d = self._synth_enc_apply(
+                state.generator.params["synthetic_encoder"], batch["synth_d_facemodel"]
+            )
+            synth_fake = self._gen_apply(
+                state.generator.params["generator"], synth_latents_d, batch["synth_d_rotations"]
+            )
+
+            def synth_d_loss(params):
+                losses = compute_discriminator_loss(
+                    lambda x: self._synth_disc_apply(params, x), synth_real, synth_fake
+                )
+                return losses["loss_sum"], losses
+
+            (_, synth_d_losses), sd_grads = jax.value_and_grad(synth_d_loss, has_aux=True)(
+                state.synth_discriminator.params
+            )
+            new_synth_discriminator = state.synth_discriminator.apply_gradients(
+                sd_grads, self.discriminator_tx
+            )
+
+            # ---- latent-discriminator: encoder latents vs synth latents ----
+            ld_real_imgs = self._to_unit_range(batch["latent_d_real_imgs"])
+            ld_real_imgs = batched_hflip(
+                ld_real_imgs, jax.random.bernoulli(keys[2], 0.5, (batch_size,))
+            )
+            encoder_latents, _ = self._encoder_apply(
+                state.generator.params["real_encoder"], ld_real_imgs
+            )
+            fake_latents = self._synth_enc_apply(
+                state.generator.params["synthetic_encoder"], batch["latent_d_facemodel"]
+            )
+
+            def latent_d_loss(params):
+                losses = compute_latent_discriminator_loss(
+                    lambda z: self._latent_disc_apply(params, z), encoder_latents, fake_latents
+                )
+                return losses["loss_sum"], losses
+
+            (_, latent_d_losses), ld_grads = jax.value_and_grad(latent_d_loss, has_aux=True)(
+                state.latent_discriminator.params
+            )
+            new_latent_discriminator = state.latent_discriminator.apply_gradients(
+                ld_grads, self.discriminator_tx
+            )
+
+            # ---- generator + encoder + regressor + synth-encoder update ----
+            flip_mask = jax.random.bernoulli(
+                keys[3], 0.5, (batch["g_real_imgs"].shape[0],)
+            )
+            (_, g_losses), g_grads = jax.value_and_grad(g_step_losses, has_aux=True)(
+                state.generator.params,
+                new_discriminator.params,
+                new_synth_discriminator.params,
+                new_latent_discriminator.params,
+                vgg_params,
+                vggface_params,
+                batch,
+                flip_mask,
+            )
+            new_generator = state.generator.apply_gradients(g_grads, self.generator_tx)
+            new_smoothed = ema_update(state.generator_smoothed, new_generator.params["generator"])
+
+            new_state = FirstStageState(
+                generator=new_generator,
+                discriminator=new_discriminator,
+                synth_discriminator=new_synth_discriminator,
+                latent_discriminator=new_latent_discriminator,
+                generator_smoothed=new_smoothed,
+            )
+            return new_state, {
+                "g": g_losses,
+                "d": d_losses,
+                "synth_d": synth_d_losses,
+                "latent_d": latent_d_losses,
+            }
+
+        return jax.jit(train_step, donate_argnums=(0,))
+
+    # ------------------------------------------------------------------
+    # Host batch assembly (stage 2 needs real-image batches for more steps)
+    # ------------------------------------------------------------------
+
+    def _sample_host_batch(self, real_training_set, synth_training_set) -> Dict[str, Any]:
+        rng = np.random
+        batch_size = self.config["batch_size"]
+        n_synth = batch_size // 2
+        n_real = batch_size - n_synth
+
+        d_real_idx = rng.randint(0, real_training_set.imgs.shape[0], batch_size)
+        d_input_idx = rng.randint(0, real_training_set.imgs.shape[0], batch_size)
+        sd_idx = rng.randint(0, synth_training_set.imgs.shape[0], batch_size)
+        sd_fm_idx = rng.randint(0, synth_training_set.imgs.shape[0], batch_size)
+        ld_real_idx = rng.randint(0, real_training_set.imgs.shape[0], batch_size)
+        ld_fm_idx = rng.randint(0, synth_training_set.imgs.shape[0], batch_size)
+        g_idx = rng.randint(0, synth_training_set.imgs.shape[0], n_synth)
+        g_real_idx = rng.randint(0, real_training_set.imgs.shape[0], n_real)
+
+        batch = {
+            "d_real_imgs": np.ascontiguousarray(real_training_set.imgs[d_real_idx]),
+            "d_input_imgs": np.ascontiguousarray(real_training_set.imgs[d_input_idx]),
+            "synth_d_real_imgs": np.ascontiguousarray(synth_training_set.imgs[sd_idx]),
+            "synth_d_facemodel": self._facemodel_batch(synth_training_set, sd_fm_idx),
+            "synth_d_rotations": np.ascontiguousarray(
+                synth_training_set.metadata_inputs["rotations"][sd_fm_idx], dtype=np.float32
+            ),
+            "latent_d_real_imgs": np.ascontiguousarray(real_training_set.imgs[ld_real_idx]),
+            "latent_d_facemodel": self._facemodel_batch(synth_training_set, ld_fm_idx),
+            "g_facemodel": self._facemodel_batch(synth_training_set, g_idx),
+            "g_rotations": np.ascontiguousarray(
+                synth_training_set.metadata_inputs["rotations"][g_idx], dtype=np.float32
+            ),
+            "g_gt_imgs": np.ascontiguousarray(synth_training_set.imgs[g_idx]),
+            "g_eye_masks": np.ascontiguousarray(synth_training_set.eye_masks[g_idx]),
+            "g_real_imgs": np.ascontiguousarray(real_training_set.imgs[g_real_idx]),
+        }
+        if self.mesh is not None:
+            from confignet_tpu.parallel import shard_batch
+
+            batch = shard_batch(self.mesh, batch)
+        return batch
+
+    # ------------------------------------------------------------------
+    # Training loop (adds validation-set machinery + controllability)
+    # ------------------------------------------------------------------
+
+    def setup_training(self, log_dir, synth_training_set, n_samples_for_metrics,
+                       attribute_classifier=None, real_training_set=None,
+                       validation_set=None, mesh=None) -> None:
+        super().setup_training(
+            log_dir, synth_training_set, n_samples_for_metrics,
+            real_training_set=real_training_set, mesh=mesh,
+        )
+        if validation_set is not None:
+            rng = np.random
+            viz_idx = rng.randint(0, validation_set.imgs.shape[0], self.n_checkpoint_samples)
+            self._checkpoint_visualization_input["input_images"] = (
+                validation_set.imgs[viz_idx].astype(np.float32) / 127.5 - 1.0
+            )
+            metric_idx = rng.randint(0, validation_set.imgs.shape[0], n_samples_for_metrics)
+            self._generator_input_for_metrics["input_images"] = (
+                validation_set.imgs[metric_idx].astype(np.float32) / 127.5 - 1.0
+            )
+        if attribute_classifier is not None:
+            from confignet_tpu.metrics.controllability import ControllabilityMetrics
+
+            self.controllability_metrics = ControllabilityMetrics(self, attribute_classifier)
+
+    def train(self, real_training_set, synth_training_set, validation_set=None,
+              attribute_classifier=None, output_dir=None, log_dir=None,
+              n_steps=100000, n_samples_for_metrics=1000, aml_run=None, mesh=None) -> None:
+        self.setup_training(
+            log_dir, synth_training_set, n_samples_for_metrics,
+            attribute_classifier=attribute_classifier,
+            real_training_set=real_training_set, validation_set=validation_set, mesh=mesh,
+        )
+        if aml_run is not None:
+            self.aml_sink = lambda name, value: aml_run.log(name, value)
+        start_step = self.get_training_step_number()
+
+        if self._train_step_fn is None:
+            self._train_step_fn = self._build_train_step()
+        vgg_params = self.perceptual_loss.variables["params"]
+        vggface_params = self.perceptual_loss_face_reco.variables["params"]
+
+        import time
+
+        for _ in range(start_step, n_steps):
+            iter_start = time.perf_counter()
+            batch = self._sample_host_batch(real_training_set, synth_training_set)
+            key = self.keychain.next()
+            self.state, losses = self._train_step_fn(
+                self.state, key, batch, vgg_params, vggface_params
+            )
+            losses = jax.device_get(losses)
+            iter_time = time.perf_counter() - iter_start
+
+            print(
+                "[D loss: %f] [synth_D loss: %f] [latent_D_loss: %f] [G loss: %f]"
+                % (
+                    losses["d"]["loss_sum"],
+                    losses["synth_d"]["loss_sum"],
+                    losses["latent_d"]["loss_sum"],
+                    losses["g"]["loss_sum"],
+                )
+            )
+            from confignet_tpu.core.logging_utils import update_loss_dict
+
+            update_loss_dict(self.g_losses, losses["g"])
+            update_loss_dict(self.d_losses, losses["d"])
+            update_loss_dict(self.synth_d_losses, losses["synth_d"])
+            update_loss_dict(self.latent_d_losses, losses["latent_d"])
+            self.run_checkpoints(output_dir, iter_time)
+
+    # ------------------------------------------------------------------
+    # Checkpoint visualization: autoencoding panel
+    # ------------------------------------------------------------------
+
+    def image_checkpoint(self, output_dir: str) -> None:
+        self.synth_data_image_checkpoint(output_dir)
+        viz = self._checkpoint_visualization_input
+        if "input_images" not in viz:
+            return
+        step_number = self.get_training_step_number()
+        gt_imgs = viz["input_images"]
+        latent, pred_rotation = self.encode_images(gt_imgs)
+        imgs_pred_rot = self.generate_images(latent, pred_rotation)
+        stacked_latents = np.vstack([latent] * self.n_checkpoint_rotations)
+        imgs_sweep = self.generate_images(stacked_latents, viz["rotation"])
+        gt_uint8 = unit_range_to_uint8(gt_imgs)
+        combined = np.vstack((gt_uint8, imgs_pred_rot, imgs_sweep))
+        matrix = build_image_matrix(
+            combined, self.n_checkpoint_rotations + 2, self.n_checkpoint_samples
+        )
+        img_dir = os.path.join(output_dir, "output_imgs")
+        os.makedirs(img_dir, exist_ok=True)
+        self._imwrite(os.path.join(img_dir, str(step_number).zfill(6) + ".png"), matrix)
+        if self.log_writer is not None:
+            self.log_writer.image("generated_images", matrix, step_number)
+
+    def generate_output_for_metrics(self) -> np.ndarray:
+        imgs = self._generator_input_for_metrics.get("input_images")
+        if imgs is None:
+            return super().generate_output_for_metrics()
+        latent, rotation = self.encode_images(imgs)
+        return self.generate_images(latent, rotation)
+
+    def calculate_metrics(self, output_dir: str) -> None:
+        super().calculate_metrics(output_dir)
+        input_images = (
+            self._generator_input_for_metrics.get("input_images")
+            if self._generator_input_for_metrics
+            else None
+        )
+        if input_images is None:
+            return
+        if self.controllability_metrics is not None:
+            self.controllability_metrics.update_and_log_metrics(
+                input_images, self.metrics, output_dir, self.aml_sink, self.log_writer
+            )
+
+        # perceptual autoencoding metric (confignet_second_stage.py:226-253)
+        latents, rotations = self.encode_images(input_images)
+        generated = self.generate_images(latents, rotations)
+        generated_f = generated.astype(np.float32) / 127.5 - 1.0
+        chunk = 16
+        losses = []
+        for start in range(0, len(input_images), chunk):
+            gt = jnp.asarray(input_images[start : start + chunk])
+            gen = jnp.asarray(generated_f[start : start + chunk])
+            losses.append(float(self.perceptual_loss.loss(gt, gen)))
+        perceptual = float(np.mean(losses))
+        self.metrics.setdefault("perceptual_loss", []).append(perceptual)
+        if self.log_writer is not None:
+            self.log_writer.scalar(
+                "metrics/perceptual_loss", perceptual, self.get_training_step_number()
+            )
+        np.savetxt(
+            os.path.join(output_dir, "image_metrics.txt"), self.metrics["perceptual_loss"]
+        )
+
+    # ------------------------------------------------------------------
+    # Inference API
+    # ------------------------------------------------------------------
+
+    def encode_images(self, input_images, batch_chunk: int = 32) -> Tuple[np.ndarray, np.ndarray]:
+        """Images (uint8 BGR or [-1,1] float) -> (latents, rotations)."""
+        input_images = np.asarray(input_images)
+        if input_images.dtype == np.uint8:
+            input_images = input_images.astype(np.float32) / 127.5 - 1.0
+        input_images = input_images.astype(np.float32)
+        if input_images.ndim == 3:
+            input_images = input_images[np.newaxis]
+
+        if self._encode_fn is None:
+            self._encode_fn = jax.jit(self._encoder_apply)
+        params = self.state.generator.params["real_encoder"]
+
+        n = input_images.shape[0]
+        chunk = min(batch_chunk, max(n, 1))
+        lat_out, rot_out = [], []
+        for start in range(0, n, chunk):
+            imgs = input_images[start : start + chunk]
+            pad = chunk - imgs.shape[0]
+            if pad:
+                imgs = np.concatenate([imgs, np.repeat(imgs[-1:], pad, axis=0)])
+            lat, rot = self._encode_fn(params, jnp.asarray(imgs))
+            lat, rot = np.asarray(lat), np.asarray(rot)
+            if pad:
+                lat, rot = lat[:-pad], rot[:-pad]
+            lat_out.append(lat)
+            rot_out.append(rot)
+        return np.concatenate(lat_out), np.concatenate(rot_out)
+
+    def _generator_params_for_inference(self):
+        if self._fine_tuned_generator_params is not None:
+            return self._fine_tuned_generator_params
+        return self.state.generator_smoothed
+
+    # ------------------------------------------------------------------
+    # One-shot fine-tuning (reference: confignet_second_stage.py:321-403)
+    # ------------------------------------------------------------------
+
+    def fine_tune_on_img(self, input_images, n_iters: int = 50, img_output_dir=None,
+                         force_neutral_expression: bool = False):
+        input_images = np.asarray(input_images)
+        if input_images.dtype == np.uint8:
+            input_images = input_images / 127.5 - 1.0
+        input_images = input_images.astype(np.float32)
+        if input_images.ndim == 3:
+            input_images = input_images[np.newaxis]
+
+        predicted_embeddings, predicted_rotations = self.encode_images(input_images)
+        if force_neutral_expression:
+            n_blend = self.config["facemodel_inputs"]["blendshape_values"][0]
+            predicted_embeddings = self.set_facemodel_param_in_latents(
+                predicted_embeddings, "blendshape_values", np.zeros((1, n_blend), np.float32)
+            )
+
+        expr_idxs = self.get_facemodel_param_idxs_in_latent("blendshape_values")
+        expr_start, expr_stop = expr_idxs[0], expr_idxs[-1] + 1
+        mean_embedding = np.mean(predicted_embeddings, axis=0, keepdims=True)
+        n_imgs = input_images.shape[0]
+
+        opt_vars = {
+            "generator": jax.device_get(self.state.generator_smoothed),
+            "pre_expr": mean_embedding[:, :expr_start],
+            "expr": predicted_embeddings[:, expr_start:expr_stop],
+            "post_expr": mean_embedding[:, expr_stop:],
+            "rotations": predicted_rotations,
+        }
+        opt_vars = jax.tree_util.tree_map(jnp.asarray, opt_vars)
+        tx = optax.adam(1e-4, b1=0.9, b2=0.999, eps=1e-7)
+        if force_neutral_expression:
+            # freeze the expression segment (reference: :392-394)
+            tx = optax.multi_transform(
+                {"train": tx, "freeze": optax.set_to_zero()},
+                {k: ("freeze" if k == "expr" else "train") for k in opt_vars},
+            )
+        opt_state = tx.init(opt_vars)
+
+        step_fn = self._get_fine_tune_step(force_neutral_expression, n_imgs, tx)
+        images_dev = jnp.asarray(input_images)
+        disc_params = self.state.discriminator.params
+        latent_disc_params = self.state.latent_discriminator.params
+        regressor_params = self.state.generator.params["latent_regressor"]
+        vgg_params = self.perceptual_loss.variables["params"]
+        vggface_params = self.perceptual_loss_face_reco.variables["params"]
+
+        if img_output_dir is not None:
+            os.makedirs(img_output_dir, exist_ok=True)
+            self._imwrite(
+                os.path.join(img_output_dir, "gt_img.png"),
+                unit_range_to_uint8(input_images)[0],
+            )
+
+        for step_number in range(n_iters):
+            opt_vars, opt_state, loss_sum, out_imgs = step_fn(
+                opt_vars, opt_state, images_dev, disc_params, latent_disc_params,
+                regressor_params, vgg_params, vggface_params,
+            )
+            print(float(loss_sum))
+            if img_output_dir is not None:
+                self._imwrite(
+                    os.path.join(img_output_dir, "output_%02d.png" % step_number),
+                    unit_range_to_uint8(np.asarray(out_imgs))[0],
+                )
+
+        opt_vars = jax.device_get(opt_vars)
+        self._fine_tuned_generator_params = jax.tree_util.tree_map(
+            jnp.asarray, opt_vars["generator"]
+        )
+        embeddings = np.concatenate(
+            [
+                np.tile(opt_vars["pre_expr"], (n_imgs, 1)),
+                opt_vars["expr"],
+                np.tile(opt_vars["post_expr"], (n_imgs, 1)),
+            ],
+            axis=1,
+        )
+        return embeddings, np.asarray(opt_vars["rotations"])
+
+    def _get_fine_tune_step(self, force_neutral: bool, n_imgs: int, tx):
+        cfg = self.config
+        w_img = cfg["image_loss_weight"]
+        w_dom = cfg["domain_adverserial_loss_weight"]
+        w_rot = cfg["latent_regressor_rot_weight"]
+        w_reg = cfg["latent_regression_weight"]
+
+        def loss_fn(opt_vars, images, disc_params, latent_disc_params,
+                    regressor_params, vgg_params, vggface_params):
+            embeddings = jnp.concatenate(
+                [
+                    jnp.tile(opt_vars["pre_expr"], (n_imgs, 1)),
+                    opt_vars["expr"],
+                    jnp.tile(opt_vars["post_expr"], (n_imgs, 1)),
+                ],
+                axis=1,
+            )
+            out = self._gen_apply(opt_vars["generator"], embeddings, opt_vars["rotations"])
+            losses = {}
+            losses["image_loss_real"] = 0.5 * w_img * self.perceptual_loss.loss_fn(
+                vgg_params, images, out
+            )
+            losses["face_reco_loss"] = 0.5 * w_img * self.perceptual_loss_face_reco.loss_fn(
+                vggface_params, out, images
+            )
+            for i, head in enumerate(self._disc_apply(disc_params, out).values()):
+                losses[f"GAN_loss_real_{i}"] = gan_g_loss(head)
+            ld_out = self._latent_disc_apply(latent_disc_params, embeddings)
+            losses["latent_GAN_loss"] = w_dom * gan_d_loss(1.0, ld_out)
+            labels = jnp.concatenate([embeddings, w_rot * opt_vars["rotations"]], axis=-1)
+            reg_out = self._regressor_apply(regressor_params, out)
+            losses["latent_regression_loss"] = normalized_latent_regression_loss(
+                reg_out, labels, w_reg
+            )
+            losses["loss_sum"] = sum(losses.values())
+            return losses["loss_sum"], out
+
+        @jax.jit
+        def step(opt_vars, opt_state, images, disc_params, latent_disc_params,
+                 regressor_params, vgg_params, vggface_params):
+            (loss_sum, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                opt_vars, images, disc_params, latent_disc_params,
+                regressor_params, vgg_params, vggface_params,
+            )
+            updates, new_opt_state = tx.update(grads, opt_state, opt_vars)
+            new_vars = optax.apply_updates(opt_vars, updates)
+            return new_vars, new_opt_state, loss_sum, out
+
+        return step

@@ -1,0 +1,130 @@
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from helpers import FakeDataset, TINY_FIRST_STAGE_CONFIG
+from confignet_tpu.training.first_stage import ConfigNetFirstStage
+
+
+@pytest.fixture(scope="module")
+def model():
+    return ConfigNetFirstStage(dict(TINY_FIRST_STAGE_CONFIG))
+
+
+@pytest.fixture(scope="module")
+def dataset():
+    return FakeDataset(n_images=8, img_size=128)
+
+
+def test_latent_dim_derived(model):
+    # 6 (blendshapes) + 4 (hair color), alphabetical order
+    assert model.config["latent_dim"] == 10
+    assert list(model.config["facemodel_inputs"].keys()) == [
+        "blendshape_values",
+        "head_hair_color",
+    ]
+    idxs = model.get_facemodel_param_idxs_in_latent("head_hair_color")
+    assert list(idxs) == [6, 7, 8, 9]
+
+
+def test_train_steps_run_and_update(model, dataset, tmp_path):
+    model.setup_training(str(tmp_path), dataset, n_samples_for_metrics=4)
+    step_fn = model._build_train_step()
+    vgg_params = model.perceptual_loss.variables["params"]
+
+    before = jax.device_get(model.state.generator.params["generator"])
+    losses_history = []
+    for _ in range(2):
+        batch = model._sample_host_batch(dataset, dataset)
+        key = model.keychain.next()
+        model.state, losses = step_fn(model.state, key, batch, vgg_params)
+        losses = jax.device_get(losses)
+        losses_history.append(losses)
+
+    for group in ("g", "d", "synth_d", "latent_d"):
+        assert np.isfinite(losses_history[-1][group]["loss_sum"])
+
+    after = jax.device_get(model.state.generator.params["generator"])
+    leaves_before = jax.tree_util.tree_leaves(before)
+    leaves_after = jax.tree_util.tree_leaves(after)
+    assert any(not np.allclose(a, b) for a, b in zip(leaves_after, leaves_before))
+
+    # EMA drifted from initial generator but is not equal to the new params
+    ema = jax.device_get(model.state.generator_smoothed)
+    ema_leaves = jax.tree_util.tree_leaves(ema)
+    assert any(not np.allclose(e, a) for e, a in zip(ema_leaves, leaves_after))
+
+    # expected loss structure of the g step
+    g_keys = set(losses_history[-1]["g"].keys())
+    assert {"image_loss", "eye_loss", "latent_GAN_loss", "latent_regression_loss", "loss_sum"} <= g_keys
+    assert sum(1 for k in g_keys if k.startswith("GAN_loss_synth_")) == 6
+    assert sum(1 for k in g_keys if k.startswith("GAN_loss_real_")) == 6
+
+
+def test_generate_images(model):
+    latents = model.sample_latent_vector(3)
+    rotations = model.sample_rotations(3)
+    imgs = model.generate_images(latents, rotations, batch_chunk=2)
+    assert imgs.shape == (3, 128, 128, 3)
+    assert imgs.dtype == np.uint8
+
+
+def test_set_facemodel_param_in_latents(model):
+    latents = model.sample_latent_vector(2).astype(np.float32)
+    new_latents = model.set_facemodel_param_in_latents(
+        latents, "head_hair_color", np.array([0.0, 1.0, 0.0], np.float32)
+    )
+    # only the hair-color slice changed
+    np.testing.assert_array_equal(new_latents[:, :6], latents[:, :6])
+    assert not np.allclose(new_latents[:, 6:], latents[:, 6:])
+    # both rows got the same encoded value
+    np.testing.assert_allclose(new_latents[0, 6:], new_latents[1, 6:], atol=1e-6)
+
+
+def test_fit_facemodel_params_roundtrip(model):
+    params = np.clip(np.random.default_rng(1).random((1, 8)), 0, 1).astype(np.float32)
+    latent = model.sample_latent_vector(1).astype(np.float32)
+    latent = model.set_facemodel_param_in_latents(latent, "blendshape_values", params)
+    recovered = model.fit_facemodel_expression_params_to_latent(
+        latent, n_iters=200, learning_rate=0.1
+    )
+    assert recovered.shape == (1, 8)
+    assert recovered.min() >= 0.0 and recovered.max() <= 1.0
+
+
+def test_save_load_roundtrip(model, tmp_path):
+    model.facemodel_param_distributions = {}
+    model.save(str(tmp_path), "model")
+    loaded = ConfigNetFirstStage.load(os.path.join(str(tmp_path), "model.json"))
+    assert loaded.config["latent_dim"] == model.config["latent_dim"]
+
+    orig = jax.device_get(model.state.generator.params["generator"])
+    new = jax.device_get(loaded.state.generator.params["generator"])
+    for a, b in zip(jax.tree_util.tree_leaves(orig), jax.tree_util.tree_leaves(new)):
+        np.testing.assert_allclose(a, b, atol=0)
+
+    latents = np.zeros((1, model.config["latent_dim"]), np.float32)
+    rots = np.zeros((1, 3), np.float32)
+    np.testing.assert_array_equal(
+        model.generate_images(latents, rots), loaded.generate_images(latents, rots)
+    )
+
+
+def test_multidevice_mesh_step(dataset, tmp_path):
+    """Data-parallel step over the virtual 8-device CPU mesh."""
+    from confignet_tpu.parallel import create_mesh, replicate
+
+    model = ConfigNetFirstStage(dict(TINY_FIRST_STAGE_CONFIG, batch_size=16))
+    mesh = create_mesh()
+    assert mesh.size == 8
+    model.setup_training(str(tmp_path), dataset, n_samples_for_metrics=4, mesh=mesh)
+    model.state = replicate(mesh, model.state)
+    step_fn = model._build_train_step()
+    vgg_params = replicate(mesh, model.perceptual_loss.variables["params"])
+
+    batch = model._sample_host_batch(dataset, dataset)
+    model.state, losses = step_fn(model.state, model.keychain.next(), batch, vgg_params)
+    assert np.isfinite(float(losses["g"]["loss_sum"]))
