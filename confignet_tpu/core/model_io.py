@@ -55,6 +55,42 @@ def load_model_weights(npz_path: str) -> Dict[str, Any]:
         return unflatten_param_trees({k: data[k] for k in data.files})
 
 
+def attempt_reloading_checkpoint(output_dir: str, dnn_loader=None):
+    """Preemption-recovery: scan ``<output>/checkpoints`` and the previous
+    job's output dir (``$PT_PREV_OUTPUT_DIR/checkpoints``) for the newest
+    checkpoint json and reload it (reference: confignet_utils.py:161-180 —
+    defined there but never wired into the CLI; here train_confignet calls
+    it on startup)."""
+    import glob
+
+    if dnn_loader is None:
+        dnn_loader = load_confignet
+
+    candidate_dirs = [os.path.join(output_dir, "checkpoints")]
+    if "PT_PREV_OUTPUT_DIR" in os.environ:
+        candidate_dirs.append(
+            os.path.join(os.environ["PT_PREV_OUTPUT_DIR"], "checkpoints")
+        )
+
+    print("Attempting to restart job from checkpoint. Potential checkpoint dirs are:")
+    for candidate in candidate_dirs:
+        print(candidate)
+
+    for checkpoint_dir in candidate_dirs:
+        if not os.path.exists(checkpoint_dir):
+            continue
+        checkpoint_files = sorted(
+            path
+            for path in glob.glob(os.path.join(checkpoint_dir, "*.json"))
+            if not path.endswith("_log.json")
+        )
+        if not checkpoint_files:
+            continue
+        print("Found loadable checkpoint")
+        return dnn_loader(checkpoint_files[-1])
+    return None
+
+
 def load_confignet(model_path: str):
     """Load any saved model (ConfigNet, ConfigNetFirstStage) by its
     ``model_type`` field."""

@@ -128,6 +128,86 @@ def rotate_3d_grid(grid: jax.Array, transform: jax.Array) -> jax.Array:
     return jnp.reshape(out, grid.shape)
 
 
+def _source_coords(grid: jax.Array, transform: jax.Array):
+    """Shared coordinate math for all resample variants: returns clipped
+    source coords, floor/ceil indices and the fractional weights."""
+    size = grid.shape[1]
+    center = (size - 1) / 2.0
+    coords = jnp.asarray(_grid_coords(size), dtype=grid.dtype)
+    transform = transform.astype(grid.dtype)
+    src = (
+        jnp.einsum(
+            "bij,jp->bip", transform, coords - center,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        + center
+    )
+    src = jnp.clip(src, 0.0, size - 1)
+    floor = jnp.clip(jnp.floor(src), 0.0, size - 1)
+    ceil = jnp.clip(floor + 1.0, 0.0, size - 1)
+    return floor.astype(jnp.int32), ceil.astype(jnp.int32), src - floor
+
+
+def rotate_3d_grid_matmul(grid: jax.Array, transform: jax.Array) -> jax.Array:
+    """MXU-native trilinear rotation resample.
+
+    Identical interpolation contract to :func:`rotate_3d_grid`, but instead
+    of 8 scattered gathers (which XLA scalarizes on TPU — measured ~75% of
+    the whole generator's time) the sample is computed as a sum over the 16
+    source z-slices of batched one-hot matmuls:
+
+        out[b,p,c] = sum_s Wz[b,p,s] * (Wxy[b,p,:] @ G[b,:,s,:])
+
+    where Wxy is the (P, S^2) interpolation matrix over the combined (x, y)
+    plane (4 nonzeros/row: the bilinear corner weights) and Wz the (P, S)
+    linear weights over z (2 nonzeros/row).  ~0.55 TFLOP at B=128 — a few ms
+    on the MXU vs ~50 ms for the gather form.  Peak extra memory is one
+    (B, P, S^2) one-hot plus a (B, P, C) accumulator.
+    """
+    assert grid.shape[1] == grid.shape[2] == grid.shape[3], "grid must be cubic"
+    batch, size, channels = grid.shape[0], grid.shape[1], grid.shape[4]
+    num_points = size ** 3
+
+    f, c, d = _source_coords(grid, transform)
+    dx = d[:, 0][..., None]  # (B, P, 1)
+    dy = d[:, 1][..., None]
+    dz = d[:, 2][..., None]
+
+    plane = size * size
+    xy_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, plane), 2)
+
+    def xy_onehot(x_idx, y_idx):
+        flat = (x_idx * size + y_idx)[..., None]  # (B, P, 1)
+        return (xy_iota == flat).astype(grid.dtype)
+
+    # Bilinear weights over the (x, y) plane, 4 corners.
+    w_xy = (
+        xy_onehot(f[:, 0], f[:, 1]) * ((1 - dx) * (1 - dy))
+        + xy_onehot(c[:, 0], f[:, 1]) * (dx * (1 - dy))
+        + xy_onehot(f[:, 0], c[:, 1]) * ((1 - dx) * dy)
+        + xy_onehot(c[:, 0], c[:, 1]) * (dx * dy)
+    )  # (B, P, S^2)
+
+    z_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, size), 2)
+    w_z = (
+        (z_iota == f[:, 2][..., None]).astype(grid.dtype) * (1 - dz)
+        + (z_iota == c[:, 2][..., None]).astype(grid.dtype) * dz
+    )  # (B, P, S)
+
+    # grid as (B, S^2, S, C): contiguous (x*S+y) rows per z-slice.
+    g = jnp.reshape(grid, (batch, plane, size, channels))
+
+    def body(s, acc):
+        slice_s = jax.lax.dynamic_index_in_dim(g, s, axis=2, keepdims=False)  # (B, S^2, C)
+        sampled = jnp.einsum("bpq,bqc->bpc", w_xy, slice_s)  # MXU
+        return acc + w_z[:, :, s][..., None] * sampled
+
+    out = jax.lax.fori_loop(
+        0, size, body, jnp.zeros((batch, num_points, channels), grid.dtype)
+    )
+    return jnp.reshape(out, grid.shape)
+
+
 def rotate_3d_grid_reference_numpy(grid: np.ndarray, transform: np.ndarray) -> np.ndarray:
     """Pure-numpy oracle implementing the same contract; used by tests to
     validate the JAX/Pallas paths."""

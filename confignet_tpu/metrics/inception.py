@@ -1,0 +1,156 @@
+"""FID and KID computation.
+
+Reference: confignet/metrics/inception_distance.py and the
+``InceptionMetrics`` harness in confignet/metrics/metrics.py:201-265.
+
+Feature extraction runs on device in fixed-size chunks (padded tail, single
+compilation); FID's matrix sqrt runs on host via scipy (it's a one-off 2048^2
+eig problem, not worth a TPU kernel); KID's polynomial kernels are plain
+matmuls computed on device.
+"""
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from confignet_tpu.models.backbones.inception import InceptionV3, inception_preprocess
+
+
+class InceptionFeatureExtractor:
+    """2048-dim pooled InceptionV3 features, chunked."""
+
+    def __init__(self, input_shape, dtype: Optional[jnp.dtype] = jnp.bfloat16):
+        self.input_shape = tuple(input_shape)
+        self.module = InceptionV3(dtype=dtype)
+        dummy = jnp.zeros((1,) + self.input_shape, jnp.float32)
+        self.variables = jax.jit(self.module.init)(jax.random.PRNGKey(1946), dummy)
+        self._fn = jax.jit(
+            lambda p, x: self.module.apply({"params": p}, inception_preprocess(x)).astype(
+                jnp.float32
+            )
+        )
+
+    def load_keras_weights(self, h5_path: str) -> None:
+        from confignet_tpu.models.backbones.loader import load_keras_h5_weights
+
+        self.variables = {
+            "params": load_keras_h5_weights(dict(self.variables["params"]), h5_path)
+        }
+
+    def get_features(self, images: np.ndarray, max_chunk_size: int = 256) -> np.ndarray:
+        images = np.asarray(images)
+        n = images.shape[0]
+        chunk = min(max_chunk_size, max(n, 1))
+        out = np.zeros((n, 2048), np.float32)
+        params = self.variables["params"]
+        for start in range(0, n, chunk):
+            batch = np.ascontiguousarray(images[start : start + chunk]).astype(np.float32)
+            pad = chunk - batch.shape[0]
+            if pad:
+                batch = np.concatenate([batch, np.repeat(batch[-1:], pad, axis=0)])
+            feats = np.asarray(self._fn(params, jnp.asarray(batch)))
+            out[start : start + chunk] = feats[: chunk - pad] if pad else feats
+        return out
+
+
+def compute_FID(features_g: np.ndarray, features_r: np.ndarray) -> float:
+    """Frechet inception distance (reference: inception_distance.py:29-43)."""
+    import scipy.linalg
+
+    mean_g = np.mean(features_g, axis=0)
+    mean_r = np.mean(features_r, axis=0)
+    cov_g = np.cov(features_g, rowvar=False)
+    cov_r = np.cov(features_r, rowvar=False)
+
+    centroid_distance = float(np.linalg.norm(mean_g - mean_r) ** 2)
+    covmean = scipy.linalg.sqrtm(np.dot(cov_g, cov_r))
+    covariance_distance = float(np.real(np.trace(cov_g + cov_r - 2 * covmean)))
+    return centroid_distance + covariance_distance
+
+
+def _poly_kernel(a: np.ndarray, b: np.ndarray, degree: int = 3, coef0: float = 1.0) -> np.ndarray:
+    """Polynomial kernel with sklearn's default gamma = 1/n_features."""
+    gamma = 1.0 / a.shape[1]
+    return (gamma * (a @ b.T) + coef0) ** degree
+
+
+def compute_KID(features_g: np.ndarray, features_r: np.ndarray) -> float:
+    """Kernel inception distance, Eq. 4 of arXiv:1801.01401
+    (reference: inception_distance.py:45-59)."""
+    k_gg = _poly_kernel(features_g, features_g)
+    k_rr = _poly_kernel(features_r, features_r)
+    k_gr = _poly_kernel(features_g, features_r)
+
+    m = features_g.shape[0]
+    n = features_r.shape[0]
+    term1 = (np.sum(k_gg) - np.sum(np.diagonal(k_gg))) / (m * (m - 1))
+    term2 = (np.sum(k_rr) - np.sum(np.diagonal(k_rr))) / (n * (n - 1))
+    term3 = np.sum(k_gr) / (m * n)
+    return float(term1 + term2 - 2 * term3)
+
+
+class InceptionMetrics:
+    """Training-time KID/FID harness: caches the ground-truth features of a
+    metric sample at construction, then scores generated batches
+    (reference: metrics.py:201-265)."""
+
+    def __init__(self, confignet_config, dataset, n_samples_for_metrics: int = 1000):
+        self.n_samples_for_metrics = n_samples_for_metrics
+        self.inception_feature_extractor = InceptionFeatureExtractor(
+            confignet_config["output_shape"]
+        )
+        idx = np.random.randint(0, dataset.imgs.shape[0], n_samples_for_metrics)
+        if getattr(dataset, "inception_features", None) is not None:
+            self.gt_inception_features = np.asarray(dataset.inception_features)[idx]
+        else:
+            self.gt_inception_features = self.inception_feature_extractor.get_features(
+                dataset.imgs[idx]
+            )
+
+    def get_metrics(self, generated_images: np.ndarray):
+        features = self.inception_feature_extractor.get_features(generated_images)
+        kid = compute_KID(features, self.gt_inception_features)
+        fid = compute_FID(features, self.gt_inception_features)
+        return kid, fid
+
+    def update_and_log_metrics(self, images, metrics_dict, output_dir,
+                               aml_sink=None, tb_log_writer=None) -> None:
+        os.makedirs(output_dir, exist_ok=True)
+        kid, fid = self.get_metrics(images)
+        metrics_dict.setdefault("kid", []).append(kid)
+        metrics_dict.setdefault("fid", []).append(fid)
+
+        if "training_step_number" in metrics_dict:
+            steps = metrics_dict["training_step_number"]
+        else:
+            steps = list(range(len(metrics_dict["kid"])))
+
+        if aml_sink is not None:
+            aml_sink("Kernel Inception Distance", kid)
+            aml_sink("Frechet Inception Distance", fid)
+        else:
+            from matplotlib import pyplot as plt
+
+            ax = plt.gca()
+            ax.set_ylabel("KID", color="tab:blue")
+            ax.semilogy(steps, metrics_dict["kid"], color="tab:blue")
+            ax = ax.twinx()
+            ax.set_ylabel("FID", color="tab:red")
+            ax.semilogy(steps, metrics_dict["fid"], color="tab:red")
+            plt.savefig(os.path.join(output_dir, "inception_metrics.png"))
+            plt.clf()
+
+        if tb_log_writer is not None:
+            tb_log_writer.scalar("metrics/kid", kid, steps[-1])
+            tb_log_writer.scalar("metrics/fid", fid, steps[-1])
+
+        table = np.stack((steps, metrics_dict["kid"], metrics_dict["fid"]), axis=1)
+        np.savetxt(
+            os.path.join(output_dir, "inception_metrics.txt"),
+            table,
+            header="\t".join(["step_number", "kid", "fid"]),
+        )

@@ -18,7 +18,11 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from confignet_tpu.models.blocks import BIAS_INIT, KERNEL_INIT
+from confignet_tpu.models.blocks import BIAS_INIT
+
+# He init: with frozen-stat batch norms, variance must survive ~90 ReLU
+# layers at random init (glorot underflows to zero features).
+KERNEL_INIT = nn.initializers.he_normal()
 
 # (convs_per_block, channels)
 _VGG_CFG = {

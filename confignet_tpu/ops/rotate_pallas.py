@@ -1,0 +1,213 @@
+"""Pallas TPU kernel for the trilinear 3D rotation resample.
+
+The generator rotates a (B, 16, 16, 16, C) feature volume per sample
+(reference semantics: confignet_utils.py:63-120).  The XLA gather form
+scalarizes on TPU (~50 ms at B=128, ~75% of the whole generator);
+reformulated as one-hot matmuls it is MXU work but XLA materializes the
+(B, P, S^2) interpolation matrix in HBM (~30 ms).  This kernel fuses
+everything in VMEM:
+
+  for each (sample, point-block):
+      build the (PB, S^2) bilinear one-hot over the (x, y) plane  [VPU]
+      for each source z-slice (16, static):
+          acc += w_z[:, z] * (W_xy @ grid[:, z, :])               [MXU]
+
+One whole sample's volume (<= 2 MB) sits in VMEM; the interpolation
+weights never touch HBM.  Interpolation math (floor/clip/weights) is
+computed in XLA beforehand and is bit-identical to the gather variant.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _rotate_kernel_full(grid_ref, xyidx_ref, zidx_ref, frac_ref, out_ref, *, size: int):
+    plane = size * size
+    pb = out_ref.shape[1]
+    dtype = out_ref.dtype
+
+    dx = frac_ref[0, 0, :].astype(jnp.float32)[:, None]
+    dy = frac_ref[0, 1, :].astype(jnp.float32)[:, None]
+    dz = frac_ref[0, 2, :].astype(jnp.float32)[:, None]  # (PB, 1)
+
+    xf = xyidx_ref[0, 0, :][:, None]  # x_floor * S
+    xc = xyidx_ref[0, 1, :][:, None]  # x_ceil * S
+    yf = xyidx_ref[0, 2, :][:, None]
+    yc = xyidx_ref[0, 3, :][:, None]
+
+    q_iota = jax.lax.broadcasted_iota(jnp.int32, (pb, plane), 1)
+    w_xy = (
+        (q_iota == (xf + yf)).astype(jnp.float32) * ((1 - dx) * (1 - dy))
+        + (q_iota == (xc + yf)).astype(jnp.float32) * (dx * (1 - dy))
+        + (q_iota == (xf + yc)).astype(jnp.float32) * ((1 - dx) * dy)
+        + (q_iota == (xc + yc)).astype(jnp.float32) * (dx * dy)
+    ).astype(dtype)
+
+    z_floor = zidx_ref[0, 0, :][:, None]  # (PB, 1)
+    z_ceil = zidx_ref[0, 1, :][:, None]
+
+    acc = jnp.zeros((pb, out_ref.shape[2]), jnp.float32)
+    for s in range(size):
+        slice_s = grid_ref[0, :, s, :]  # (S^2, C)
+        sampled = jnp.dot(w_xy, slice_s, preferred_element_type=jnp.float32)
+        w_z = (z_floor == s).astype(jnp.float32) * (1 - dz) + (
+            z_ceil == s
+        ).astype(jnp.float32) * dz
+        acc = acc + sampled * w_z
+    out_ref[0, :, :] = acc.astype(dtype)
+
+
+def _rotate_kernel_grad_grid(ct_ref, xyidx_ref, zidx_ref, frac_ref, out_ref, *, size: int):
+    """Transpose of the forward kernel: accumulate
+    grad_grid[b, q, s, c] = sum_p Wxy[b, p, q] * Wz[b, p, s] * ct[b, p, c]
+    over the point blocks.  The output block (the sample's whole volume) is
+    revisited across the p grid dimension and accumulated in VMEM."""
+    plane = size * size
+    pb = ct_ref.shape[1]
+    dtype = out_ref.dtype
+
+    p_idx = pl.program_id(1)
+
+    @pl.when(p_idx == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    dx = frac_ref[0, 0, :].astype(jnp.float32)[:, None]
+    dy = frac_ref[0, 1, :].astype(jnp.float32)[:, None]
+    dz = frac_ref[0, 2, :].astype(jnp.float32)[:, None]
+
+    xf = xyidx_ref[0, 0, :][:, None]
+    xc = xyidx_ref[0, 1, :][:, None]
+    yf = xyidx_ref[0, 2, :][:, None]
+    yc = xyidx_ref[0, 3, :][:, None]
+
+    q_iota = jax.lax.broadcasted_iota(jnp.int32, (pb, plane), 1)
+    w_xy = (
+        (q_iota == (xf + yf)).astype(jnp.float32) * ((1 - dx) * (1 - dy))
+        + (q_iota == (xc + yf)).astype(jnp.float32) * (dx * (1 - dy))
+        + (q_iota == (xf + yc)).astype(jnp.float32) * ((1 - dx) * dy)
+        + (q_iota == (xc + yc)).astype(jnp.float32) * (dx * dy)
+    )
+
+    z_floor = zidx_ref[0, 0, :][:, None]
+    z_ceil = zidx_ref[0, 1, :][:, None]
+    ct = ct_ref[0, :, :].astype(jnp.float32)  # (PB, C)
+
+    for s in range(size):
+        w_z = (z_floor == s).astype(jnp.float32) * (1 - dz) + (
+            z_ceil == s
+        ).astype(jnp.float32) * dz
+        weighted_ct = ct * w_z  # (PB, C)
+        contribution = jnp.dot(
+            w_xy.T, weighted_ct, preferred_element_type=jnp.float32
+        )  # (S^2, C)
+        out_ref[0, :, s, :] += contribution.astype(dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("size", "point_block"))
+def _rotate_grad_grid(ct: jax.Array, xyidx, zidx, frac, size: int = 16,
+                      point_block: int = 1024) -> jax.Array:
+    batch, num_points, channels = ct.shape
+    pb = min(point_block, num_points)
+    kernel = functools.partial(_rotate_kernel_grad_grid, size=size)
+    return pl.pallas_call(
+        kernel,
+        grid=(batch, num_points // pb),
+        in_specs=[
+            pl.BlockSpec((1, pb, channels), lambda b, p: (b, p, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4, pb), lambda b, p: (b, 0, p), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, pb), lambda b, p: (b, 0, p), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, pb), lambda b, p: (b, 0, p), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, size * size, size, channels), lambda b, p: (b, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((batch, size * size, size, channels), ct.dtype),
+    )(ct, xyidx, zidx, frac)
+
+
+@jax.custom_vjp
+def rotate_3d_grid_fused(grid: jax.Array, transform: jax.Array) -> jax.Array:
+    """Pallas rotation resample with a custom VJP for the TRAINING path.
+
+    Gradient contract: full gradient w.r.t. ``grid`` (transpose kernel);
+    gradient w.r.t. ``transform`` is defined as ZERO.  Use this only where
+    rotations are data (the fused train steps sample/collect them from the
+    batch); paths that optimize rotations (one-shot fine-tuning) must use the
+    differentiable gather form instead.
+    """
+    return rotate_3d_grid_pallas(grid, transform)
+
+
+def _rotate_fused_fwd(grid, transform):
+    return rotate_3d_grid_pallas(grid, transform), transform
+
+
+def _rotate_fused_bwd(transform, ct):
+    # the output has the grid's exact shape/dtype, so ct carries both
+    grid_shape, grid_dtype = ct.shape, ct.dtype
+    batch, size, channels = grid_shape[0], grid_shape[1], grid_shape[4]
+    num_points = size ** 3
+
+    from confignet_tpu.core.transforms import _source_coords
+
+    # _source_coords only reads the grid's shape/dtype (lattice construction)
+    f, c, d = _source_coords(jnp.zeros(grid_shape, grid_dtype), transform)
+    xyidx = jnp.stack([f[:, 0] * size, c[:, 0] * size, f[:, 1], c[:, 1]], axis=1)
+    zidx = jnp.stack([f[:, 2], c[:, 2]], axis=1)
+    frac = d.astype(grid_dtype)
+
+    ct_flat = jnp.reshape(ct, (batch, num_points, channels))
+    grad_g = _rotate_grad_grid(ct_flat, xyidx, zidx, frac, size=size)
+    grad_grid = jnp.reshape(grad_g, grid_shape)
+    return grad_grid, jnp.zeros_like(transform)
+
+
+rotate_3d_grid_fused.defvjp(_rotate_fused_fwd, _rotate_fused_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("point_block",))
+def rotate_3d_grid_pallas(grid: jax.Array, transform: jax.Array, point_block: int = 1024) -> jax.Array:
+    """Drop-in replacement for ``rotate_3d_grid`` backed by the fused Pallas
+    kernel.  Same interpolation contract (clamped borders, trilinear)."""
+    from confignet_tpu.core.transforms import _source_coords
+
+    assert grid.shape[1] == grid.shape[2] == grid.shape[3], "grid must be cubic"
+    batch, size, channels = grid.shape[0], grid.shape[1], grid.shape[4]
+    num_points = size ** 3
+    pb = min(point_block, num_points)
+    assert num_points % pb == 0
+
+    f, c, d = _source_coords(grid, transform)
+
+    xyidx = jnp.stack(
+        [f[:, 0] * size, c[:, 0] * size, f[:, 1], c[:, 1]], axis=1
+    )  # (B, 4, P)
+    zidx = jnp.stack([f[:, 2], c[:, 2]], axis=1)  # (B, 2, P)
+    frac = d.astype(grid.dtype)  # (B, 3, P)
+
+    g = jnp.reshape(grid, (batch, size * size, size, channels))
+
+    kernel = functools.partial(_rotate_kernel_full, size=size)
+    out = pl.pallas_call(
+        kernel,
+        grid=(batch, num_points // pb),
+        in_specs=[
+            pl.BlockSpec((1, size * size, size, channels), lambda b, p: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4, pb), lambda b, p: (b, 0, p), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, pb), lambda b, p: (b, 0, p), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, pb), lambda b, p: (b, 0, p), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, pb, channels), lambda b, p: (b, p, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((batch, num_points, channels), grid.dtype),
+    )(g, xyidx, zidx, frac)
+
+    return jnp.reshape(out, grid.shape)

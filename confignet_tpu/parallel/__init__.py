@@ -4,6 +4,7 @@ from confignet_tpu.parallel.mesh import (
     replicated_sharding,
     shard_batch,
     replicate,
+    maybe_initialize_distributed,
 )
 
 __all__ = [
@@ -12,4 +13,5 @@ __all__ = [
     "replicated_sharding",
     "shard_batch",
     "replicate",
+    "maybe_initialize_distributed",
 ]

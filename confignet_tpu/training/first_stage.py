@@ -112,6 +112,7 @@ DEFAULT_CONFIG: Dict[str, Any] = {
     "n_generator_features": 256,
     "compute_dtype": "float32",  # "bfloat16" for max throughput
     "perceptual_taps": None,     # override VGG taps (tests use shallow taps)
+    "rotation_resample": "auto",  # inference resample impl (pallas on TPU)
     "seed": 0,
 }
 
@@ -196,7 +197,7 @@ class ConfigNetFirstStage:
         """Total face-model input dims (reference: confignet_first_stage.py:209-215)."""
         return int(sum(v[0] for v in self.config["facemodel_inputs"].values()))
 
-    def _generator_kwargs(self) -> Dict[str, Any]:
+    def _generator_kwargs(self, rotation_resample: str = "gather") -> Dict[str, Any]:
         return dict(
             latent_dim=self.config["latent_dim"],
             output_shape=tuple(self.config["output_shape"][:2]),
@@ -206,6 +207,7 @@ class ConfigNetFirstStage:
             const_shape=tuple(self.config["const_input_shape"]),
             n_features_first=self.config.get("n_generator_features", 256),
             dtype=self.compute_dtype,
+            rotation_resample=rotation_resample,
         )
 
     def _discriminator_kwargs(self) -> Dict[str, Any]:
@@ -220,7 +222,22 @@ class ConfigNetFirstStage:
         )
 
     def _build_modules(self) -> None:
-        self.generator_module = HologanGenerator(**self._generator_kwargs())
+        # Three generator views over ONE parameter tree, differing only in
+        # the rotation-resample implementation:
+        # - train: pallas fwd + custom-VJP bwd on TPU ("auto_train"; train
+        #   steps never differentiate rotations), gather on CPU;
+        # - fast:  pallas fwd-only, for inference/EMA generation;
+        # - ft:    gather (fully differentiable incl. rotations) for the
+        #   one-shot fine-tune, which optimizes rotations.
+        self.generator_module = HologanGenerator(
+            **self._generator_kwargs(
+                self.config.get("rotation_resample_train", "auto_train")
+            )
+        )
+        self.generator_module_fast = HologanGenerator(
+            **self._generator_kwargs(self.config.get("rotation_resample", "auto"))
+        )
+        self.generator_module_ft = HologanGenerator(**self._generator_kwargs("gather"))
         self.discriminator_module = HologanDiscriminator(**self._discriminator_kwargs())
         self.synth_discriminator_module = HologanDiscriminator(**self._discriminator_kwargs())
         self.latent_regressor_module = HologanLatentRegressor(
@@ -282,6 +299,11 @@ class ConfigNetFirstStage:
 
     def _gen_apply(self, params, latent, rotations):
         return self.generator_module.apply({"params": params}, latent, rotations)
+
+    def _gen_apply_ft(self, params, latent, rotations):
+        """Fully differentiable generator apply (rotations included) — used
+        by paths that optimize rotations (one-shot fine-tune)."""
+        return self.generator_module_ft.apply({"params": params}, latent, rotations)
 
     def _disc_apply(self, params, imgs):
         return self.discriminator_module.apply({"params": params}, imgs)
@@ -478,6 +500,8 @@ class ConfigNetFirstStage:
         )
 
     def _sample_host_batch(self, real_training_set, synth_training_set) -> Dict[str, Any]:
+        from confignet_tpu.runtime import gather_images, gather_rows
+
         rng = np.random
         batch_size = self.config["batch_size"]
         n_synth = batch_size // 2
@@ -489,8 +513,8 @@ class ConfigNetFirstStage:
         g_idx = rng.randint(0, synth_training_set.imgs.shape[0], n_synth)
 
         batch = {
-            "d_real_imgs": np.ascontiguousarray(real_training_set.imgs[d_idx]),
-            "synth_d_real_imgs": np.ascontiguousarray(synth_training_set.imgs[sd_idx]),
+            "d_real_imgs": gather_images(real_training_set.imgs, d_idx),
+            "synth_d_real_imgs": gather_images(synth_training_set.imgs, sd_idx),
             "synth_d_facemodel": self._facemodel_batch(synth_training_set, sd_fm_idx),
             "synth_d_rotations": np.ascontiguousarray(
                 synth_training_set.metadata_inputs["rotations"][sd_fm_idx], dtype=np.float32
@@ -500,8 +524,8 @@ class ConfigNetFirstStage:
             "g_rotations": np.ascontiguousarray(
                 synth_training_set.metadata_inputs["rotations"][g_idx], dtype=np.float32
             ),
-            "g_gt_imgs": np.ascontiguousarray(synth_training_set.imgs[g_idx]),
-            "g_eye_masks": np.ascontiguousarray(synth_training_set.eye_masks[g_idx]),
+            "g_gt_imgs": gather_images(synth_training_set.imgs, g_idx),
+            "g_eye_masks": gather_rows(np.asarray(synth_training_set.eye_masks), g_idx),
         }
         if self.mesh is not None:
             from confignet_tpu.parallel import shard_batch
@@ -805,8 +829,9 @@ class ConfigNetFirstStage:
     def _get_generate_fn(self, chunk: int, fine_tuned: bool = False):
         cache_key = (chunk, fine_tuned)
         if cache_key not in self._generate_fn_cache:
+            module = self.generator_module_fast
             self._generate_fn_cache[cache_key] = jax.jit(
-                lambda params, latent, rot: self._gen_apply(params, latent, rot)
+                lambda params, latent, rot: module.apply({"params": params}, latent, rot)
             )
         return self._generate_fn_cache[cache_key]
 

@@ -295,6 +295,8 @@ class ConfigNet(ConfigNetFirstStage):
     # ------------------------------------------------------------------
 
     def _sample_host_batch(self, real_training_set, synth_training_set) -> Dict[str, Any]:
+        from confignet_tpu.runtime import gather_images, gather_rows
+
         rng = np.random
         batch_size = self.config["batch_size"]
         n_synth = batch_size // 2
@@ -310,22 +312,22 @@ class ConfigNet(ConfigNetFirstStage):
         g_real_idx = rng.randint(0, real_training_set.imgs.shape[0], n_real)
 
         batch = {
-            "d_real_imgs": np.ascontiguousarray(real_training_set.imgs[d_real_idx]),
-            "d_input_imgs": np.ascontiguousarray(real_training_set.imgs[d_input_idx]),
-            "synth_d_real_imgs": np.ascontiguousarray(synth_training_set.imgs[sd_idx]),
+            "d_real_imgs": gather_images(real_training_set.imgs, d_real_idx),
+            "d_input_imgs": gather_images(real_training_set.imgs, d_input_idx),
+            "synth_d_real_imgs": gather_images(synth_training_set.imgs, sd_idx),
             "synth_d_facemodel": self._facemodel_batch(synth_training_set, sd_fm_idx),
             "synth_d_rotations": np.ascontiguousarray(
                 synth_training_set.metadata_inputs["rotations"][sd_fm_idx], dtype=np.float32
             ),
-            "latent_d_real_imgs": np.ascontiguousarray(real_training_set.imgs[ld_real_idx]),
+            "latent_d_real_imgs": gather_images(real_training_set.imgs, ld_real_idx),
             "latent_d_facemodel": self._facemodel_batch(synth_training_set, ld_fm_idx),
             "g_facemodel": self._facemodel_batch(synth_training_set, g_idx),
             "g_rotations": np.ascontiguousarray(
                 synth_training_set.metadata_inputs["rotations"][g_idx], dtype=np.float32
             ),
-            "g_gt_imgs": np.ascontiguousarray(synth_training_set.imgs[g_idx]),
-            "g_eye_masks": np.ascontiguousarray(synth_training_set.eye_masks[g_idx]),
-            "g_real_imgs": np.ascontiguousarray(real_training_set.imgs[g_real_idx]),
+            "g_gt_imgs": gather_images(synth_training_set.imgs, g_idx),
+            "g_eye_masks": gather_rows(np.asarray(synth_training_set.eye_masks), g_idx),
+            "g_real_imgs": gather_images(real_training_set.imgs, g_real_idx),
         }
         if self.mesh is not None:
             from confignet_tpu.parallel import shard_batch
@@ -610,7 +612,7 @@ class ConfigNet(ConfigNetFirstStage):
                 ],
                 axis=1,
             )
-            out = self._gen_apply(opt_vars["generator"], embeddings, opt_vars["rotations"])
+            out = self._gen_apply_ft(opt_vars["generator"], embeddings, opt_vars["rotations"])
             losses = {}
             losses["image_loss_real"] = 0.5 * w_img * self.perceptual_loss.loss_fn(
                 vgg_params, images, out
