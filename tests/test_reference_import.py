@@ -1,0 +1,148 @@
+"""Reference-checkpoint import: validate (a) the Keras object-graph weight
+ordering RULES the shim relies on, against real (generic) Keras models, and
+(b) the strict zip-assignment machinery end-to-end with synthetic weight
+lists."""
+import numpy as np
+import pytest
+
+from helpers import TINY_FIRST_STAGE_CONFIG
+from confignet_tpu.core.reference_import import (
+    assign_weight_list,
+    discriminator_weight_paths,
+    generator_weight_paths,
+    mlp_weight_paths,
+    synthetic_encoder_weight_paths,
+)
+
+
+def test_keras_weight_ordering_rules():
+    """Pin the ordering rules: sub-layer weights are depth-first; the
+    CURRENT Keras orders layers appended alternately to two python-list
+    attributes in CREATION order (interleaved).  TF 2.1 (which wrote the
+    reference checkpoints) grouped per attribute instead — the import shim
+    therefore supports both and auto-detects via strict shape checks."""
+    tf = pytest.importorskip("tensorflow")
+    keras = tf.keras
+
+    class Inner(keras.Model):
+        def __init__(self):
+            super().__init__()
+            self.first = keras.layers.Dense(3)
+            self.second = keras.layers.Dense(5)
+
+        def call(self, x):
+            return self.second(self.first(x))
+
+    class Outer(keras.Model):
+        def __init__(self):
+            super().__init__()
+            self.list_a = []
+            self.list_b = []
+            for _ in range(2):
+                self.list_a.append(keras.layers.Dense(2))
+                self.list_b.append(keras.layers.Dense(4))
+            self.inner = Inner()
+
+        def call(self, x):
+            for a, b in zip(self.list_a, self.list_b):
+                x = b(a(x))
+            return self.inner(x)
+
+    model = Outer()
+    model(np.zeros((1, 7), np.float32))
+    shapes = [tuple(w.shape) for w in model.get_weights()]
+    interleaved = [
+        (7, 2), (2,), (2, 4), (4,),          # a0, b0 (creation order)
+        (4, 2), (2,), (2, 4), (4,),          # a1, b1
+        (4, 3), (3,), (3, 5), (5,),          # inner.first then inner.second
+    ]
+    grouped = [
+        (7, 2), (2,), (4, 2), (2,),          # list_a members
+        (2, 4), (4,), (4, 4), (4,),          # list_b members
+        (4, 3), (3,), (3, 5), (5,),
+    ]
+    assert shapes in (interleaved, grouped)
+
+
+def _weight_list_for_paths(params, paths):
+    """Build a synthetic Keras-style flat weight list from our params."""
+    from flax import traverse_util
+
+    flat = dict(traverse_util.flatten_dict(params))
+    out = []
+    for path in paths:
+        if path == ("__drop_zero_kernel__",):
+            bias_len = np.asarray(flat[("learned_input",)]).shape[0]
+            out.append(np.zeros((1, bias_len), np.float32))
+        else:
+            out.append(np.asarray(flat[path]) + 1.0)  # shift to prove assignment
+    return out
+
+
+def test_generator_import_roundtrip():
+    from confignet_tpu.training.first_stage import ConfigNetFirstStage
+
+    model = ConfigNetFirstStage(dict(TINY_FIRST_STAGE_CONFIG))
+    weights = model.get_weights()
+    paths = generator_weight_paths(model.config["output_shape"][0])
+    weight_list = _weight_list_for_paths(weights["generator"], paths)
+
+    imported = assign_weight_list(weights["generator"], weight_list, paths, "generator")
+    from flax import traverse_util
+
+    flat_orig = traverse_util.flatten_dict(weights["generator"])
+    flat_new = traverse_util.flatten_dict(imported)
+    assert set(flat_orig.keys()) == set(flat_new.keys())
+    for path in flat_orig:
+        np.testing.assert_allclose(
+            np.asarray(flat_new[path]), np.asarray(flat_orig[path]) + 1.0, atol=0
+        )
+
+
+def test_import_rejects_shape_mismatch():
+    from confignet_tpu.training.first_stage import ConfigNetFirstStage
+
+    model = ConfigNetFirstStage(dict(TINY_FIRST_STAGE_CONFIG))
+    weights = model.get_weights()
+    paths = generator_weight_paths(model.config["output_shape"][0])
+    weight_list = _weight_list_for_paths(weights["generator"], paths)
+    weight_list[3] = np.zeros((1, 1), np.float32)  # corrupt one entry
+    with pytest.raises(ValueError, match="shape"):
+        assign_weight_list(weights["generator"], weight_list, paths, "generator")
+
+
+def test_import_rejects_live_dead_kernel():
+    from confignet_tpu.training.first_stage import ConfigNetFirstStage
+
+    model = ConfigNetFirstStage(dict(TINY_FIRST_STAGE_CONFIG))
+    weights = model.get_weights()
+    paths = generator_weight_paths(model.config["output_shape"][0])
+    weight_list = _weight_list_for_paths(weights["generator"], paths)
+    weight_list[0] = weight_list[0] + 1.0  # non-zero learned-input kernel
+    with pytest.raises(ValueError, match="all-zero"):
+        assign_weight_list(weights["generator"], weight_list, paths, "generator")
+
+
+def test_path_tables_cover_tiny_models():
+    """Every declared path exists in the corresponding params tree and the
+    counts match exactly (no unmapped parameters except declared drops)."""
+    from flax import traverse_util
+
+    from confignet_tpu.training.first_stage import ConfigNetFirstStage
+
+    model = ConfigNetFirstStage(dict(TINY_FIRST_STAGE_CONFIG))
+    weights = model.get_weights()
+
+    cases = [
+        ("generator", generator_weight_paths(model.config["output_shape"][0]), 1),
+        ("discriminator", discriminator_weight_paths(model.config["n_discr_layers"]), 0),
+        ("latent_discriminator", mlp_weight_paths(model.config["n_latent_discr_layers"]), 0),
+        ("synthetic_encoder",
+         synthetic_encoder_weight_paths(model.facemodel_inputs_tuple), 0),
+    ]
+    for name, paths, n_drops in cases:
+        flat = traverse_util.flatten_dict(weights[name])
+        real_paths = [p for p in paths if p != ("__drop_zero_kernel__",)]
+        assert len(real_paths) == len(flat), name
+        for p in real_paths:
+            assert p in flat, (name, p)
