@@ -27,7 +27,7 @@ def main() -> None:
     mesh = create_mesh(devices)
 
     latent_dim = 145
-    batch = 128 * n_dev
+    batch = 256 * n_dev
     n_iters = 20
     generator = HologanGenerator(
         latent_dim=latent_dim, output_shape=(256, 256), dtype=jnp.bfloat16

@@ -38,10 +38,18 @@ class BasicUI:
 
         if hdri_turntable_path is None:
             hdri_turntable_path = os.path.join(ASSET_DIR, "hdri_turntable_embeddings.npy")
-        if os.path.exists(hdri_turntable_path):
-            self.hdri_turntable_embeddings = np.load(hdri_turntable_path)
-        else:
-            self.hdri_turntable_embeddings = None
+        self.hdri_turntable_embeddings = None
+        hdri_spec = confignet_model.config["facemodel_inputs"].get("hdri_embedding")
+        if os.path.exists(hdri_turntable_path) and hdri_spec is not None:
+            embeddings = np.load(hdri_turntable_path)
+            if embeddings.shape[1] == hdri_spec[0]:
+                self.hdri_turntable_embeddings = embeddings
+            else:
+                print(
+                    "WARNING: turntable embeddings are %d-dim but the model's "
+                    "hdri_embedding input is %d-dim; illumination sweep disabled"
+                    % (embeddings.shape[1], hdri_spec[0])
+                )
         self.current_hdri_embedding_frame = 0
         self.sweeping_hdri = False
 

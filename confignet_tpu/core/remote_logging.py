@@ -7,7 +7,6 @@ fallback, plus a generic sink adapter so orchestrators only ever see a
 """
 from __future__ import annotations
 
-from typing import Optional
 
 
 def get_aml_run():

@@ -67,32 +67,9 @@ def rotate_3d_grid(grid: jax.Array, transform: jax.Array) -> jax.Array:
     size = grid.shape[1]
     channels = grid.shape[4]
     num_points = size ** 3
-    center = (size - 1) / 2.0
 
-    coords = jnp.asarray(_grid_coords(size), dtype=grid.dtype)  # (3, P)
-    transform = transform.astype(grid.dtype)
-
-    # (B, 3, P): source coordinates for each output lattice point.  The
-    # matmul is tiny (3x3 @ 3xP) so full float precision is free; the default
-    # (bf16-class) matmul precision would shift coordinates by ~1e-3 and flip
-    # interpolation cells.
-    src = (
-        jnp.einsum(
-            "bij,jp->bip",
-            transform,
-            coords - center,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-        + center
-    )
-    src = jnp.clip(src, 0.0, size - 1)
-
-    floor = jnp.clip(jnp.floor(src), 0.0, size - 1)
-    ceil = jnp.clip(floor + 1.0, 0.0, size - 1)
-    diffs = src - floor  # (B, 3, P)
-
-    f = floor.astype(jnp.int32)
-    c = ceil.astype(jnp.int32)
+    f, c, diffs = _source_coords(grid, transform)
+    diffs = diffs.astype(grid.dtype)
 
     flat_grid = jnp.reshape(grid, (batch, num_points, channels))
 
@@ -130,11 +107,17 @@ def rotate_3d_grid(grid: jax.Array, transform: jax.Array) -> jax.Array:
 
 def _source_coords(grid: jax.Array, transform: jax.Array):
     """Shared coordinate math for all resample variants: returns clipped
-    source coords, floor/ceil indices and the fractional weights."""
+    source coords, floor/ceil indices and the fractional weights.
+
+    Always computed in (at least) float32 — coordinate/weight precision
+    determines which interpolation cell each point lands in, independent of
+    the feature dtype.
+    """
     size = grid.shape[1]
     center = (size - 1) / 2.0
-    coords = jnp.asarray(_grid_coords(size), dtype=grid.dtype)
-    transform = transform.astype(grid.dtype)
+    coord_dtype = grid.dtype if grid.dtype == jnp.float64 else jnp.float32
+    coords = jnp.asarray(_grid_coords(size), dtype=coord_dtype)
+    transform = transform.astype(coord_dtype)
     src = (
         jnp.einsum(
             "bij,jp->bip", transform, coords - center,

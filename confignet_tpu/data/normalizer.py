@@ -61,6 +61,18 @@ def get_similarity_transform(destination_landmarks: np.ndarray,
     return A, t
 
 
+def align_image(img: np.ndarray, landmarks: np.ndarray, output_shape,
+                canonical_landmarks: np.ndarray) -> np.ndarray:
+    """Warp an image so its landmarks land on the canonical positions
+    (reference: dataset_utils.py:109-117)."""
+    import cv2
+
+    A, t = get_similarity_transform(landmarks, canonical_landmarks)
+    M = np.hstack((A, t[:, np.newaxis]))
+    M = cv2.invertAffineTransform(M)
+    return cv2.warpAffine(img, M, tuple(output_shape[:2]))
+
+
 class FaceImageNormalizer:
     # --- pre-normalization constants (reference: face_image_normalizer.py:28-34)
     ref_pre_norm_landmark_idxs = ((36, 39), (42, 45), (30,), (48,), (54,))

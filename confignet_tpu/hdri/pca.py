@@ -34,8 +34,6 @@ class WhitenedPCA:
         self.explained_variance_ratio_ = None
 
     def fit(self, X: np.ndarray) -> "WhitenedPCA":
-        import jax.numpy as jnp
-
         X = np.asarray(X, np.float32)
         n_samples = X.shape[0]
         self.mean_ = X.mean(axis=0)

@@ -9,8 +9,8 @@ protocol exactly for metric comparability
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import Any, Dict, List, Tuple
+from dataclasses import dataclass
+from typing import Any, List, Tuple
 
 
 @dataclass(frozen=True)

@@ -13,7 +13,7 @@ Weights initialize deterministically; supply the Keras ``.h5`` via
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

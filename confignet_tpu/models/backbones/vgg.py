@@ -12,7 +12,7 @@ loss never pays for conv5.
 """
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Tuple, Optional
 
 import jax
 import jax.numpy as jnp

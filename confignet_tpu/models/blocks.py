@@ -13,7 +13,7 @@ Parity notes vs the reference (confignet/dnn_models/building_blocks.py):
 """
 from __future__ import annotations
 
-from typing import Callable, Optional, Sequence
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp

@@ -156,14 +156,17 @@ class HologanGenerator(nn.Module):
         x = upsample3d_nearest(x)
         x = self._conv_adain_3d(nf // 2, "map_3d_1")(x, input_dict["z_3d_1"])
 
-        # Rotate the feature volume in 3D.  The resample runs in float32 for
-        # parity with the reference's explicit cast
-        # (confignet_utils.py:75-76), then returns to the compute dtype.
+        # Rotate the feature volume in 3D.  In float32 mode the resample runs
+        # in float32 for parity with the reference's explicit cast
+        # (confignet_utils.py:75-76); in bfloat16 mode it stays bf16 (halves
+        # the kernel's VMEM traffic — coordinates are always computed at full
+        # precision inside the resample regardless).
         transforms = euler_angles_to_matrix(input_dict["rotation"])
         rotate = _resolve_rotation_impl(self.rotation_resample)
-        x = rotate(x.astype(jnp.float32), transforms)
-        if self.dtype is not None:
-            x = x.astype(self.dtype)
+        if self.dtype is None:
+            x = rotate(x.astype(jnp.float32), transforms)
+        else:
+            x = rotate(x.astype(self.dtype), transforms)
 
         # 'Rendering' layers.
         for i in range(2):

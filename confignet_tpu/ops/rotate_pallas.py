@@ -161,7 +161,7 @@ def _rotate_fused_bwd(transform, ct):
     f, c, d = _source_coords(jnp.zeros(grid_shape, grid_dtype), transform)
     xyidx = jnp.stack([f[:, 0] * size, c[:, 0] * size, f[:, 1], c[:, 1]], axis=1)
     zidx = jnp.stack([f[:, 2], c[:, 2]], axis=1)
-    frac = d.astype(grid_dtype)
+    frac = d.astype(jnp.float32)  # weights stay full precision
 
     ct_flat = jnp.reshape(ct, (batch, num_points, channels))
     grad_g = _rotate_grad_grid(ct_flat, xyidx, zidx, frac, size=size)
@@ -190,7 +190,7 @@ def rotate_3d_grid_pallas(grid: jax.Array, transform: jax.Array, point_block: in
         [f[:, 0] * size, c[:, 0] * size, f[:, 1], c[:, 1]], axis=1
     )  # (B, 4, P)
     zidx = jnp.stack([f[:, 2], c[:, 2]], axis=1)  # (B, 2, P)
-    frac = d.astype(grid.dtype)  # (B, 3, P)
+    frac = d.astype(jnp.float32)  # weights stay full precision  # (B, 3, P)
 
     g = jnp.reshape(grid, (batch, size * size, size, channels))
 

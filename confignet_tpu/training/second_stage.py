@@ -19,7 +19,7 @@ train step, data-parallel over the mesh.
 from __future__ import annotations
 
 import os
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -27,7 +27,6 @@ import numpy as np
 import optax
 
 from confignet_tpu.core.images import batched_hflip, build_image_matrix, unit_range_to_uint8
-from confignet_tpu.core.logging_utils import log_loss_vals
 from confignet_tpu.losses import (
     compute_discriminator_loss,
     compute_latent_discriminator_loss,
@@ -37,7 +36,6 @@ from confignet_tpu.losses import (
     normalized_latent_regression_loss,
 )
 from confignet_tpu.losses.perceptual import PerceptualLoss
-from confignet_tpu.models.generator import HologanGenerator
 from confignet_tpu.models.real_encoder import RealEncoder
 from confignet_tpu.training.first_stage import ConfigNetFirstStage, FirstStageState
 from confignet_tpu.training.state import Player, ema_update

@@ -20,7 +20,7 @@ divergence, converges identically after warm-up).
 """
 from __future__ import annotations
 
-from typing import Any, Callable, Dict
+from typing import Any, Dict
 
 import jax
 import optax

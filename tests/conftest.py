@@ -12,9 +12,12 @@ if "xla_force_host_platform_device_count" not in flags:
 
 # The env var alone is not honored when a TPU plugin (axon) is installed;
 # force the CPU backend through the config API before any backend init.
+# Set CONFIGNET_TPU_TEST_PLATFORM=tpu to run the suite (incl. the Pallas
+# kernel tests) on real hardware instead.
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+if os.environ.get("CONFIGNET_TPU_TEST_PLATFORM", "cpu") == "cpu":
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest
