@@ -45,11 +45,18 @@ def compute_discriminator_loss(
     discriminator_fn: Callable[[jax.Array], Dict[str, jax.Array]],
     real_imgs: jax.Array,
     fake_imgs: jax.Array,
+    r1_heads: str = "all",
 ) -> Dict[str, jax.Array]:
     """Full multi-head discriminator loss: per-head GAN loss on real & fake
-    plus per-head R1 on real inputs (losses.py:20-47).
+    plus R1 on real inputs (losses.py:20-47).
 
     ``discriminator_fn`` maps images to an ordered dict of logits.
+
+    ``r1_heads``: "all" penalizes every head like the reference; "final"
+    applies R1 only to the last (full-image) head — the common single-head
+    R1 recipe (Mescheder et al.).  On TPU the per-head pullbacks fuse well
+    under XLA, so this is a regularization-behavior option rather than a
+    speed knob.
     """
     out_real, pullback = jax.vjp(discriminator_fn, real_imgs)
     out_fake = discriminator_fn(fake_imgs)
@@ -61,7 +68,16 @@ def compute_discriminator_loss(
         losses[f"GAN_loss_real_{i}"] = gan_d_loss(1.0, out_real[key])
     for i, key in enumerate(head_keys):
         losses[f"GAN_loss_fake_{i}"] = gan_d_loss(0.0, out_fake[key])
-    for i, key in enumerate(head_keys):
+
+    if r1_heads == "all":
+        r1_keys = head_keys
+    elif r1_heads == "final":
+        r1_keys = head_keys[-1:]
+    else:
+        raise ValueError(f"unknown r1_heads mode {r1_heads!r}")
+
+    for key in r1_keys:
+        i = head_keys.index(key)
         cotangent = {
             k: jnp.ones_like(v) if k == key else jnp.zeros_like(v)
             for k, v in out_real.items()

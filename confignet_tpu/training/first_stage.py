@@ -113,6 +113,7 @@ DEFAULT_CONFIG: Dict[str, Any] = {
     "compute_dtype": "float32",  # "bfloat16" for max throughput
     "perceptual_taps": None,     # override VGG taps (tests use shallow taps)
     "rotation_resample": "auto",  # inference resample impl (pallas on TPU)
+    "r1_heads": "all",  # "final" = single-head R1, ~5x fewer D backward passes
     "seed": 0,
 }
 
@@ -397,7 +398,8 @@ class ConfigNetFirstStage:
 
             def d_loss(params):
                 losses = compute_discriminator_loss(
-                    lambda x: self._disc_apply(params, x), real_imgs, fake_imgs
+                    lambda x: self._disc_apply(params, x), real_imgs, fake_imgs,
+                    r1_heads=cfg.get("r1_heads", "all"),
                 )
                 return losses["loss_sum"], losses
 
@@ -420,7 +422,8 @@ class ConfigNetFirstStage:
 
             def synth_d_loss(params):
                 losses = compute_discriminator_loss(
-                    lambda x: self._synth_disc_apply(params, x), synth_real, synth_fake
+                    lambda x: self._synth_disc_apply(params, x), synth_real, synth_fake,
+                    r1_heads=cfg.get("r1_heads", "all"),
                 )
                 return losses["loss_sum"], losses
 

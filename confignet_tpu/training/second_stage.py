@@ -198,7 +198,8 @@ class ConfigNet(ConfigNetFirstStage):
 
             def d_loss(params):
                 losses = compute_discriminator_loss(
-                    lambda x: self._disc_apply(params, x), real_imgs, fake_imgs
+                    lambda x: self._disc_apply(params, x), real_imgs, fake_imgs,
+                    r1_heads=cfg.get("r1_heads", "all"),
                 )
                 return losses["loss_sum"], losses
 
@@ -219,7 +220,8 @@ class ConfigNet(ConfigNetFirstStage):
 
             def synth_d_loss(params):
                 losses = compute_discriminator_loss(
-                    lambda x: self._synth_disc_apply(params, x), synth_real, synth_fake
+                    lambda x: self._synth_disc_apply(params, x), synth_real, synth_fake,
+                    r1_heads=cfg.get("r1_heads", "all"),
                 )
                 return losses["loss_sum"], losses
 

@@ -128,3 +128,17 @@ def test_multidevice_mesh_step(dataset, tmp_path):
     batch = model._sample_host_batch(dataset, dataset)
     model.state, losses = step_fn(model.state, model.keychain.next(), batch, vgg_params)
     assert np.isfinite(float(losses["g"]["loss_sum"]))
+
+
+def test_r1_final_only_mode(dataset, tmp_path):
+    """r1_heads='final' computes a single gp term per discriminator."""
+    model = ConfigNetFirstStage(dict(TINY_FIRST_STAGE_CONFIG, r1_heads="final"))
+    model.setup_training(str(tmp_path), dataset, n_samples_for_metrics=2)
+    step_fn = model._build_train_step()
+    vgg = model.perceptual_loss.variables["params"]
+    batch = model._sample_host_batch(dataset, dataset)
+    model.state, losses = step_fn(model.state, model.keychain.next(), batch, vgg)
+    losses = jax.device_get(losses)
+    gp_keys = [k for k in losses["d"] if k.startswith("gp_loss")]
+    assert gp_keys == ["gp_loss_5"]
+    assert np.isfinite(losses["d"]["loss_sum"])

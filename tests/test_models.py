@@ -190,3 +190,18 @@ def test_r1_differentiable_wrt_params(rng):
     w = jnp.asarray(rng.normal(size=(4, 1)).astype(np.float32))
     g = jax.grad(loss_of_w)(w)
     assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_generator_512_path():
+    """The >256 branch adds map_2d_2c and yields 512px output."""
+    gen = HologanGenerator(
+        latent_dim=LATENT_DIM, output_shape=(512, 512),
+        n_features_first=16, const_shape=(4, 4, 4, 8), n_adain_mlp_units=8,
+    )
+    z = jnp.zeros((1, LATENT_DIM))
+    rot = jnp.zeros((1, 3))
+    variables = gen.init(jax.random.PRNGKey(0), z, rot)
+    names = set(variables["params"].keys())
+    assert {"map_2d_2b", "map_2d_2c"} <= names
+    out = gen.apply(variables, z, rot)
+    assert out.shape == (1, 512, 512, 3)
