@@ -91,6 +91,27 @@ def attempt_reloading_checkpoint(output_dir: str, dnn_loader=None):
     return None
 
 
+def save_weights_orbax(trees: Dict[str, Any], checkpoint_dir: str) -> None:
+    """Save parameter trees with orbax (sharded/async-capable — the option
+    for very large runs; the npz path stays the default interchange
+    format).  ``checkpoint_dir`` must be absolute."""
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as checkpointer:
+        checkpointer.save(
+            os.path.abspath(checkpoint_dir),
+            {k: v for k, v in trees.items() if v is not None},
+            force=True,
+        )
+
+
+def load_weights_orbax(checkpoint_dir: str) -> Dict[str, Any]:
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as checkpointer:
+        return checkpointer.restore(os.path.abspath(checkpoint_dir))
+
+
 def load_confignet(model_path: str):
     """Load any saved model (ConfigNet, ConfigNetFirstStage) by its
     ``model_type`` field."""

@@ -142,3 +142,20 @@ def test_r1_final_only_mode(dataset, tmp_path):
     gp_keys = [k for k in losses["d"] if k.startswith("gp_loss")]
     assert gp_keys == ["gp_loss_5"]
     assert np.isfinite(losses["d"]["loss_sum"])
+
+
+def test_orbax_checkpoint_roundtrip(model, tmp_path):
+    from confignet_tpu.core.model_io import load_weights_orbax, save_weights_orbax
+
+    weights = model.get_weights()
+    ckpt_dir = os.path.join(str(tmp_path), "orbax_ckpt")
+    save_weights_orbax(weights, ckpt_dir)
+    restored = load_weights_orbax(ckpt_dir)
+
+    flat_orig = jax.tree_util.tree_leaves(weights["generator"])
+    flat_new = jax.tree_util.tree_leaves(restored["generator"])
+    assert len(flat_orig) == len(flat_new)
+    for a, b in zip(flat_orig, flat_new):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    model.set_weights(restored)  # loadable back into the trainer
