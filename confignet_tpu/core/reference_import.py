@@ -77,10 +77,11 @@ def discriminator_weight_paths(num_resample: int, from_rgb: bool = True,
 
     ``list_ordering`` handles the Keras-version ambiguity for the two python
     list attributes filled alternately in one loop:
-    - "grouped":     ALL conv blocks then ALL style classifiers (TF 2.1
-      object-graph attribute order — the version the reference pins);
+    - "grouped":     ALL conv blocks then ALL style classifiers (object-graph
+      attribute order — MEASURED on tf_keras 2.21 in
+      tests/test_tf_parity.py, and the TF 2.1 order the reference pins);
     - "interleaved": conv0, style0, conv1, style1, ... (layer-creation order,
-      what current Keras 3 produces — pinned by tests).
+      kept as a fallback for other Keras lineages).
     ``load_reference_confignet`` tries both; strict shape checks make the
     wrong choice fail loudly."""
     paths: List[Tuple[str, ...]] = []
@@ -143,6 +144,44 @@ def synthetic_encoder_weight_paths(facemodel_inputs: Sequence, num_layers: int =
                 (f"mlp_{name}", f"dense_{i}", "kernel"),
                 (f"mlp_{name}", f"dense_{i}", "bias"),
             ]
+    return paths
+
+
+def _resnet50_layer_to_path(layer_name: str) -> Tuple[str, ...]:
+    """Map a Keras ResNet50 layer name to our Flax module path
+    (models/backbones/resnet.py naming)."""
+    if layer_name == "conv1_conv":
+        return ("resnet", "stem_conv")
+    if layer_name == "conv1_bn":
+        return ("resnet", "stem_bn")
+    # conv{S}_block{B}_{J}_{conv|bn}, S in 2..5 -> stage{S-1}, J in 0..3.
+    parts = layer_name.split("_")
+    stage = int(parts[0][4:]) - 1
+    block = int(parts[1][5:])
+    j = int(parts[2])
+    kind = parts[3]
+    if kind == "conv":
+        sub = "shortcut_conv" if j == 0 else f"conv{j}"
+    else:
+        sub = "shortcut_bn" if j == 0 else f"bn{j}"
+    return ("resnet", f"stage{stage}_block{block}", sub)
+
+
+def real_encoder_weight_paths(latent_dim: int = None) -> List[Tuple[str, ...]]:
+    """Keras weight order of RealEncoder (real_encoder.py:9-22): the ResNet50
+    functional model's weights (core/resnet50_keras_order.py, measured), then
+    the rotation regressor and latent head Dense layers — the attribute
+    assignment order of the reference constructor."""
+    from confignet_tpu.core.resnet50_keras_order import RESNET50_KERAS_WEIGHT_NAMES
+
+    paths: List[Tuple[str, ...]] = []
+    for name in RESNET50_KERAS_WEIGHT_NAMES:
+        layer, leaf = name.rsplit("/", 1)
+        paths.append(_resnet50_layer_to_path(layer) + (leaf,))
+    paths += [
+        ("rotation_regressor", "kernel"), ("rotation_regressor", "bias"),
+        ("feature_to_latent", "kernel"), ("feature_to_latent", "bias"),
+    ]
     return paths
 
 
@@ -235,9 +274,10 @@ def load_reference_confignet(json_path: str):
             model.facemodel_inputs_tuple, model.config["num_synth_encoder_layers"]
         ),
         "synthetic_encoder")
-    # real_encoder (ResNet50 + heads) import is backbone-layout dependent
-    # and intentionally not guessed here; see backbones/loader.py for the
-    # h5-based path.
+    if "real_encoder_weights" in data and "real_encoder" in weights:
+        weights["real_encoder"] = assign_weight_list(
+            weights["real_encoder"], data["real_encoder_weights"],
+            real_encoder_weight_paths(), "real_encoder")
 
     model.set_weights(weights)
     return model

@@ -2,6 +2,9 @@
 are exercised without TPU hardware.  Must run before jax is imported."""
 import os
 
+# Parity tests run the reference's TF-2.1-era Keras code; select legacy
+# Keras 2 (tf_keras) BEFORE tensorflow is first imported anywhere.
+os.environ.setdefault("TF_USE_LEGACY_KERAS", "1")
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")

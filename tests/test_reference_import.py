@@ -57,10 +57,13 @@ def test_keras_weight_ordering_rules():
         (4, 3), (3,), (3, 5), (5,),          # inner.first then inner.second
     ]
     grouped = [
-        (7, 2), (2,), (4, 2), (2,),          # list_a members
-        (2, 4), (4,), (4, 4), (4,),          # list_b members
+        (7, 2), (2,), (4, 2), (2,),          # list_a members: a0 (from input), a1 (from b0's 4)
+        (2, 4), (4,), (2, 4), (4,),          # list_b members: both fed by a Dense(2)
         (4, 3), (3,), (3, 5), (5,),
     ]
+    # tf_keras (legacy Keras 2, what the suite runs under) groups per
+    # attribute — the TF 2.1 order of the reference checkpoints; Keras 3
+    # interleaves in creation order.  The import shim auto-detects.
     assert shapes in (interleaved, grouped)
 
 

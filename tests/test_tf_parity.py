@@ -1,0 +1,414 @@
+"""Cross-framework numerical parity: the ORIGINAL TensorFlow reference models
+vs our Flax ports, with weights transferred through
+``confignet_tpu.core.reference_import``.
+
+This is the composed-model contract test the reference pins with pretrained
+checkpoints (reference: tests/inference_test.py:23-52).  No pretrained
+weights exist in this environment, so instead we instantiate the actual
+reference Keras model classes (under legacy Keras 2 via tf_keras), randomize
+their weights, export ``get_weights()`` exactly the way reference
+checkpoints are written (confignet_first_stage.py:129-139,173-175), import
+through the weight-order declarations in ``reference_import.py``, and assert
+matching outputs.  Any drift in layer semantics, epsilon, activation slope,
+padding, or weight ordering turns these red.
+"""
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from tests.tf_reference import load_ref_module, randomize_tf_weights
+
+tf = pytest.importorskip("tensorflow")
+
+import jax
+import jax.numpy as jnp
+
+from confignet_tpu.core import reference_import as ri
+
+pytestmark = pytest.mark.tf_parity
+
+
+def _to_np(x):
+    return np.asarray(jax.device_get(x))
+
+
+# ---------------------------------------------------------------------------
+# Generator
+# ---------------------------------------------------------------------------
+
+def _generator_parity(output_size: int, batch: int, latent_dim: int = 16,
+                      mlp_units: int = 32) -> None:
+    ref_gen_mod = load_ref_module("dnn_models.hologan_generator")
+    rng = np.random.default_rng(output_size)
+    z = rng.normal(size=(batch, latent_dim)).astype(np.float32)
+    rot = rng.uniform(-0.5, 0.5, size=(batch, 3)).astype(np.float32)
+
+    tf_gen = ref_gen_mod.HologanGenerator(
+        latent_dim, (output_size, output_size, 3), mlp_units, 2, "tanh")
+    inputs_tf = tf_gen.build_input_dict(tf.constant(z), tf.constant(rot))
+    tf_gen(inputs_tf)  # build
+    randomize_tf_weights(tf_gen, seed=output_size + 1)
+    # The learned-input kernel is dead (multiplied by a zeros vector); keep it
+    # zero as in any real checkpoint — the importer refuses nonzero values.
+    wl = tf_gen.get_weights()
+    wl[0] = np.zeros_like(wl[0])
+    tf_gen.set_weights(wl)
+    out_tf = tf_gen(inputs_tf).numpy()
+
+    from confignet_tpu.models.generator import HologanGenerator, build_input_dict
+
+    gen = HologanGenerator(
+        latent_dim=latent_dim, output_shape=(output_size, output_size),
+        n_adain_mlp_units=mlp_units, n_adain_mlp_layers=2,
+        rotation_resample="gather")
+    inputs = build_input_dict(jnp.asarray(z), jnp.asarray(rot))
+    params = gen.init(jax.random.PRNGKey(0), inputs)["params"]
+    params = ri.assign_weight_list(
+        params, wl, ri.generator_weight_paths(output_size), "generator")
+    out_jax = _to_np(gen.apply({"params": params}, inputs))
+
+    assert out_jax.shape == out_tf.shape == (batch, output_size, output_size, 3)
+    np.testing.assert_allclose(out_jax, out_tf, atol=5e-4)
+
+
+def test_generator_parity_128():
+    _generator_parity(128, batch=2)
+
+
+@pytest.mark.slow
+def test_generator_parity_256():
+    _generator_parity(256, batch=1)
+
+
+@pytest.mark.slow
+def test_generator_parity_512():
+    _generator_parity(512, batch=1)
+
+
+# ---------------------------------------------------------------------------
+# Discriminator / latent regressor
+# ---------------------------------------------------------------------------
+
+_DISCR_KW = dict(num_resample=3, disc_max_feature_maps=64,
+                 disc_kernel_size=3, disc_expansion_factor=8,
+                 initial_from_rgb_layer_in_discr=True)
+
+
+def test_discriminator_parity():
+    ref_mod = load_ref_module("dnn_models.hologan_discriminator")
+    rng = np.random.default_rng(1)
+    img = rng.uniform(-1, 1, size=(2, 32, 32, 3)).astype(np.float32)
+
+    tf_disc = ref_mod.HologanDiscriminator(img_shape=(32, 32), **_DISCR_KW)
+    tf_disc(tf.constant(img))
+    randomize_tf_weights(tf_disc, seed=2)
+    out_tf = {k: v.numpy() for k, v in tf_disc(tf.constant(img)).items()}
+
+    from confignet_tpu.models.discriminator import HologanDiscriminator
+
+    disc = HologanDiscriminator(
+        img_shape=(32, 32), num_resample=3, disc_kernel_size=3,
+        disc_expansion_factor=8, disc_max_feature_maps=64,
+        initial_from_rgb_layer_in_discr=True)
+    params = disc.init(jax.random.PRNGKey(0), jnp.asarray(img))["params"]
+
+    wl = tf_disc.get_weights()
+    # Resolve the Keras list-attribute ordering by measurement: exactly one
+    # of the two declared orders must fit the shapes.
+    try:
+        params = ri.assign_weight_list(
+            params, wl, ri.discriminator_weight_paths(3, True, "grouped"),
+            "discriminator")
+    except (ValueError, KeyError):
+        params = ri.assign_weight_list(
+            params, wl, ri.discriminator_weight_paths(3, True, "interleaved"),
+            "discriminator")
+
+    out_jax = disc.apply({"params": params}, jnp.asarray(img))
+    assert set(out_jax) == set(out_tf)
+    for key in out_tf:
+        np.testing.assert_allclose(
+            _to_np(out_jax[key]), out_tf[key], atol=1e-3, rtol=1e-4,
+            err_msg=key)
+
+
+def test_latent_regressor_parity():
+    ref_mod = load_ref_module("dnn_models.hologan_discriminator")
+    rng = np.random.default_rng(3)
+    img = rng.uniform(-1, 1, size=(2, 32, 32, 3)).astype(np.float32)
+    latent_dim = 16
+
+    tf_reg = ref_mod.HologanLatentRegressor(latent_dim, img_shape=(32, 32), **_DISCR_KW)
+    tf_reg(tf.constant(img))
+    randomize_tf_weights(tf_reg, seed=4)
+    out_tf = tf_reg(tf.constant(img)).numpy()
+
+    from confignet_tpu.models.discriminator import HologanLatentRegressor
+
+    reg = HologanLatentRegressor(
+        latent_dim=latent_dim, img_shape=(32, 32), num_resample=3,
+        disc_kernel_size=3, disc_expansion_factor=8, disc_max_feature_maps=64,
+        initial_from_rgb_layer_in_discr=True)
+    params = reg.init(jax.random.PRNGKey(0), jnp.asarray(img))["params"]
+    params = ri.assign_weight_list(
+        params, tf_reg.get_weights(), ri.latent_regressor_weight_paths(3, True),
+        "latent_regressor")
+    out_jax = _to_np(reg.apply({"params": params}, jnp.asarray(img)))
+    np.testing.assert_allclose(out_jax, out_tf, atol=1e-3, rtol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Synthetic encoder + generic MLP (covers the LatentGAN nets)
+# ---------------------------------------------------------------------------
+
+def test_synthetic_encoder_parity():
+    from collections import OrderedDict
+
+    ref_mod = load_ref_module("dnn_models.synthetic_encoder")
+    spec = OrderedDict([("blendshape_values", (4, 6)),
+                        ("eye_color", (3, 4)),
+                        ("hair_color", (3, 6))])
+    rng = np.random.default_rng(5)
+    inputs = {k: rng.normal(size=(2, dims[0])).astype(np.float32)
+              for k, dims in spec.items()}
+
+    tf_enc = ref_mod.SyntheticDataEncoder(spec, num_layers=2)
+    tf_enc({k: tf.constant(v) for k, v in inputs.items()})
+    randomize_tf_weights(tf_enc, seed=6)
+    out_tf = tf_enc({k: tf.constant(v) for k, v in inputs.items()}).numpy()
+
+    from confignet_tpu.models.synthetic_encoder import SyntheticDataEncoder
+
+    enc = SyntheticDataEncoder(facemodel_inputs=tuple(spec.items()), num_layers=2)
+    jx = {k: jnp.asarray(v) for k, v in inputs.items()}
+    params = enc.init(jax.random.PRNGKey(0), jx)["params"]
+    params = ri.assign_weight_list(
+        params, tf_enc.get_weights(),
+        ri.synthetic_encoder_weight_paths(tuple(spec.items()), 2),
+        "synthetic_encoder")
+    out_jax = _to_np(enc.apply({"params": params}, jx))
+    np.testing.assert_allclose(out_jax, out_tf, atol=1e-4, rtol=1e-4)
+
+
+def test_mlp_parity():
+    """MLPSimple vs blocks.MLP — the shared building block of the latent
+    discriminator and both LatentGAN networks (latent_gan.py:88-110)."""
+    ref_mod = load_ref_module("dnn_models.building_blocks")
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=(4, 16)).astype(np.float32)
+
+    keras = tf.keras
+    tf_mlp = ref_mod.MLPSimple(num_layers=4, num_in=16, num_hidden=32,
+                               num_out=16, non_linear=keras.layers.LeakyReLU,
+                               non_linear_last=None)
+    tf_mlp(tf.constant(x))
+    randomize_tf_weights(tf_mlp, seed=8)
+    out_tf = tf_mlp(tf.constant(x)).numpy()
+
+    from confignet_tpu.models.blocks import MLP
+
+    mlp = MLP(num_layers=4, num_hidden=32, num_out=16)
+    params = mlp.init(jax.random.PRNGKey(0), jnp.asarray(x))["params"]
+    params = ri.assign_weight_list(
+        params, tf_mlp.get_weights(), ri.mlp_weight_paths(4), "mlp")
+    out_jax = _to_np(mlp.apply({"params": params}, jnp.asarray(x)))
+    np.testing.assert_allclose(out_jax, out_tf, atol=1e-5, rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Real encoder (ResNet50 trunk + heads)
+# ---------------------------------------------------------------------------
+
+def test_real_encoder_parity(monkeypatch):
+    ref_mod = load_ref_module("dnn_models.real_encoder")
+    # No egress: force weights=None instead of the ImageNet download.
+    orig_ctor = ref_mod.resnet50.ResNet50
+    monkeypatch.setattr(
+        ref_mod.resnet50, "ResNet50",
+        lambda **kw: orig_ctor(**{**kw, "weights": None}))
+
+    rng = np.random.default_rng(9)
+    img = rng.uniform(-1, 1, size=(2, 128, 128, 3)).astype(np.float32)
+    latent_dim = 16
+    rotation_ranges = ((-30, 30), (-10, 10), (0, 0))
+
+    tf_enc = ref_mod.RealEncoder(latent_dim, (128, 128, 3), rotation_ranges)
+    tf_enc(tf.constant(img))
+    randomize_tf_weights(tf_enc, seed=10)
+    emb_tf, rot_tf = tf_enc(tf.constant(img))
+
+    from confignet_tpu.models.real_encoder import RealEncoder
+
+    enc = RealEncoder(latent_dim=latent_dim, rotation_ranges=rotation_ranges)
+    params = enc.init(jax.random.PRNGKey(0), jnp.asarray(img))["params"]
+    params = ri.assign_weight_list(
+        params, tf_enc.get_weights(), ri.real_encoder_weight_paths(),
+        "real_encoder")
+    emb_jax, rot_jax = enc.apply({"params": params}, jnp.asarray(img))
+
+    np.testing.assert_allclose(_to_np(emb_jax), emb_tf.numpy(), atol=2e-3, rtol=1e-3)
+    np.testing.assert_allclose(_to_np(rot_jax), rot_tf.numpy(), atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual losses (VGG19 / VGGFace VGG16) through the h5 loader
+# ---------------------------------------------------------------------------
+
+def _perceptual_parity(tmp_path, monkeypatch, model_type: str, arch_builder):
+    ref_pl = load_ref_module("perceptual_loss")
+    keras = tf.keras
+
+    h5_path = str(tmp_path / f"{model_type}.h5")
+
+    tf_backbone = arch_builder(weights=None, include_top=False,
+                               input_shape=(64, 64, 3))
+    randomize_tf_weights(tf_backbone, seed=11)
+    tf_backbone.save_weights(h5_path)
+
+    if model_type == "imagenet":
+        monkeypatch.setattr(
+            keras.applications.vgg19, "VGG19",
+            lambda **kw: arch_builder(**{**kw, "weights": None}) if "weights" in kw
+            else arch_builder(weights=None, **kw))
+        # Give the reference model our randomized weights.
+        pl_tf = ref_pl.PerceptualLoss((64, 64, 3), model_type="imagenet")
+        pl_tf._pretrained_dnn_activations.load_weights(h5_path, by_name=True)
+    else:
+        monkeypatch.setattr(keras.utils, "get_file", lambda *a, **k: h5_path)
+        monkeypatch.setattr(
+            keras.applications.vgg16, "VGG16",
+            lambda **kw: arch_builder(weights=None, **kw))
+        pl_tf = ref_pl.PerceptualLoss((64, 64, 3), model_type="VGGFace")
+
+    rng = np.random.default_rng(12)
+    pred = rng.uniform(-1, 1, size=(2, 64, 64, 3)).astype(np.float32)
+    data = rng.uniform(-1, 1, size=(2, 64, 64, 3)).astype(np.float32)
+    loss_tf = float(pl_tf.loss(tf.constant(pred), tf.constant(data)).numpy())
+
+    from confignet_tpu.losses.perceptual import PerceptualLoss
+
+    pl = PerceptualLoss((64, 64, 3), model_type=model_type)
+    pl.load_keras_weights(h5_path)
+    loss_jax = float(pl.loss(jnp.asarray(pred), jnp.asarray(data)))
+
+    np.testing.assert_allclose(loss_jax, loss_tf, rtol=1e-4)
+
+    # Tap activations must match individually, not just in aggregate.
+    acts_tf = pl_tf._pretrained_dnn_activations(
+        pl_tf._preprocess_input(tf.constant(pred)))
+    acts_jax = pl.activations(pl.variables["params"], jnp.asarray(pred))
+    assert len(acts_tf) == len(acts_jax) == 4
+    for a_tf, a_jax in zip(acts_tf, acts_jax):
+        np.testing.assert_allclose(
+            _to_np(a_jax), a_tf.numpy(), atol=1e-3, rtol=1e-3)
+
+
+def test_perceptual_vgg19_parity(tmp_path, monkeypatch):
+    _perceptual_parity(tmp_path, monkeypatch, "imagenet",
+                       tf.keras.applications.vgg19.VGG19)
+
+
+def test_perceptual_vggface_parity(tmp_path, monkeypatch):
+    _perceptual_parity(tmp_path, monkeypatch, "VGGFace",
+                       tf.keras.applications.vgg16.VGG16)
+
+
+# ---------------------------------------------------------------------------
+# Full reference-format checkpoint import (npz + json), end to end
+# ---------------------------------------------------------------------------
+
+@pytest.mark.slow
+def test_reference_checkpoint_import_end_to_end(tmp_path):
+    """Write a checkpoint in the exact reference format
+    (confignet_first_stage.py:129-139,173-175) from live TF reference models
+    and load it with ``load_reference_confignet``; generated images must
+    match the TF generator."""
+    from collections import OrderedDict
+
+    gen_mod = load_ref_module("dnn_models.hologan_generator")
+    disc_mod = load_ref_module("dnn_models.hologan_discriminator")
+    synth_mod = load_ref_module("dnn_models.synthetic_encoder")
+    bb_mod = load_ref_module("dnn_models.building_blocks")
+    keras = tf.keras
+
+    facemodel_inputs = OrderedDict(
+        [("blendshape_values", (4, 6)), ("eye_color", (3, 4)),
+         ("hair_color", (3, 6))])
+    latent_dim = 16
+    size = 128
+
+    tf_gen = gen_mod.HologanGenerator(latent_dim, (size, size, 3), 32, 2, "tanh")
+    tf_gen_s = gen_mod.HologanGenerator(latent_dim, (size, size, 3), 32, 2, "tanh")
+    discr_kw = dict(img_shape=(size, size), num_resample=3,
+                    disc_max_feature_maps=64, disc_kernel_size=3,
+                    disc_expansion_factor=8,
+                    initial_from_rgb_layer_in_discr=True)
+    tf_disc = disc_mod.HologanDiscriminator(**discr_kw)
+    tf_synth_disc = disc_mod.HologanDiscriminator(**discr_kw)
+    tf_reg = disc_mod.HologanLatentRegressor(latent_dim, **discr_kw)
+    tf_latent_disc = bb_mod.MLPSimple(
+        num_layers=3, num_in=latent_dim, num_hidden=latent_dim, num_out=1,
+        non_linear=keras.layers.LeakyReLU, non_linear_last=None)
+    tf_synth_enc = synth_mod.SyntheticDataEncoder(facemodel_inputs, num_layers=2)
+
+    rng = np.random.default_rng(13)
+    z = rng.normal(size=(2, latent_dim)).astype(np.float32)
+    rot = rng.uniform(-0.4, 0.4, size=(2, 3)).astype(np.float32)
+    img = rng.uniform(-1, 1, size=(2, size, size, 3)).astype(np.float32)
+
+    # Build + randomize.
+    for i, (model, inp) in enumerate([
+            (tf_gen, tf_gen.build_input_dict(tf.constant(z), tf.constant(rot))),
+            (tf_gen_s, tf_gen_s.build_input_dict(tf.constant(z), tf.constant(rot))),
+            (tf_disc, tf.constant(img)), (tf_synth_disc, tf.constant(img)),
+            (tf_reg, tf.constant(img)), (tf_latent_disc, tf.constant(z)),
+            (tf_synth_enc, {k: tf.constant(rng.normal(size=(2, d[0])).astype(np.float32))
+                            for k, d in facemodel_inputs.items()})]):
+        model(inp)
+        randomize_tf_weights(model, seed=20 + i)
+
+    for tf_g in (tf_gen, tf_gen_s):
+        wl = tf_g.get_weights()
+        wl[0] = np.zeros_like(wl[0])
+        tf_g.set_weights(wl)
+
+    config = {
+        "model_type": "ConfigNetFirstStage",
+        "output_shape": (size, size, 3),
+        "n_adain_mlp_units": 32,
+        "n_adain_mlp_layers": 2,
+        "n_discr_layers": 3,
+        "max_discr_filters": 64,
+        "n_discr_features_at_layer_0": 8,
+        "discr_conv_kernel_size": 3,
+        "initial_from_rgb_layer_in_discr": True,
+        "n_latent_discr_layers": 3,
+        "num_synth_encoder_layers": 2,
+        "facemodel_inputs": {k: list(v) for k, v in facemodel_inputs.items()},
+        "batch_size": 2,
+        "perceptual_taps": (1, 2),
+        "rotation_resample": "gather",
+    }
+    json_path = str(tmp_path / "model.json")
+    with open(json_path, "w") as fp:
+        json.dump(config, fp)
+    np.savez(
+        str(tmp_path / "model.npz"),
+        generator_weights=np.array(tf_gen.get_weights(), dtype=object),
+        generator_smoothed_weights=np.array(tf_gen_s.get_weights(), dtype=object),
+        discriminator_weights=np.array(tf_disc.get_weights(), dtype=object),
+        synth_discriminator_weights=np.array(tf_synth_disc.get_weights(), dtype=object),
+        latent_regressor_weights=np.array(tf_reg.get_weights(), dtype=object),
+        latent_discriminator_weights=np.array(tf_latent_disc.get_weights(), dtype=object),
+        synthetic_encoder_weights=np.array(tf_synth_enc.get_weights(), dtype=object),
+    )
+
+    model = ri.load_reference_confignet(json_path)
+    out_tf = tf_gen_s(tf_gen_s.build_input_dict(tf.constant(z), tf.constant(rot))).numpy()
+    out_jax = _to_np(model.generator_module_ft.apply(
+        {"params": model.state.generator_smoothed}, jnp.asarray(z), jnp.asarray(rot)))
+    np.testing.assert_allclose(out_jax, out_tf, atol=5e-4)
