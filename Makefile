@@ -1,0 +1,28 @@
+# Developer entry points.  The test suite is split with pytest markers:
+#   (default)   fast signal — no fused-trainer compiles, < ~5 min on 1 CPU
+#   slow        trainer/mesh/CLI compiles and big-model TF parity
+#   tf_parity   cross-framework parity vs the TensorFlow reference
+#   tpu         needs real TPU hardware (CONFIGNET_TPU_TEST_PLATFORM=tpu)
+
+.PHONY: test-fast test-slow test-all test-parity bench bench-train lint
+
+test-fast:
+	python -m pytest tests/ -q -m "not slow and not tpu"
+
+test-slow:
+	python -m pytest tests/ -q -m "slow"
+
+test-all:
+	python -m pytest tests/ -q -m "not tpu"
+
+test-parity:
+	python -m pytest tests/test_tf_parity.py -q
+
+bench:
+	python bench.py
+
+bench-train:
+	python bench_train.py
+
+lint:
+	python -m pyflakes confignet_tpu tests bench.py bench_train.py __graft_entry__.py 2>/dev/null || true

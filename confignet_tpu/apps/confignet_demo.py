@@ -133,10 +133,10 @@ def run(args):
     current_embedding_unmodified, current_rotation, orig_images = get_new_embeddings(
         args, input_images, latentgan_model, confignet_model
     )
-    basic_ui.set_next_embeddings(current_embedding_unmodified)
+    basic_ui.retarget(current_embedding_unmodified)
 
     while not basic_ui.exit:
-        current_renderer_input = basic_ui.get_current_frame_embeddings()
+        current_renderer_input = basic_ui.frame_latent()
         if "bone_rotations:left_eye" in confignet_model.config["facemodel_inputs"]:
             current_renderer_input = set_gaze_direction_in_embedding(
                 current_renderer_input, basic_ui.eye_rotation_offset, confignet_model
@@ -152,26 +152,26 @@ def run(args):
         visualization = np.dstack((orig_images, generated_imgs, white_strip))
         image_matrix = build_image_matrix(visualization, args.n_rows, args.n_cols)
 
-        basic_ui.perform_per_frame_actions()
+        basic_ui.advance()
 
         if not args.test_mode:
             cv2.imshow("img", image_matrix)
         key = cv2.waitKey(1)
-        key = basic_ui.drive_ui(key, args.test_mode)
+        key = basic_ui.handle_key(key, args.test_mode)
 
         if key == ord(" ") or args.test_mode:
             current_embedding_unmodified, current_rotation, orig_images = get_new_embeddings(
                 args, input_images, latentgan_model, confignet_model
             )
-            basic_ui.set_next_embeddings(current_embedding_unmodified)
+            basic_ui.retarget(current_embedding_unmodified)
         if key == ord("v") or args.test_mode:
-            basic_ui.set_next_embeddings(current_embedding_unmodified)
+            basic_ui.retarget(current_embedding_unmodified)
         if key == ord("x") or args.test_mode:
-            current_attribute = basic_ui.facemodel_param_names[basic_ui.controlled_param_idx]
+            current_attribute = basic_ui.current_attribute
             new_embeddings = get_embedding_with_new_attribute_value(
-                current_attribute, basic_ui.get_current_frame_embeddings(), confignet_model
+                current_attribute, basic_ui.frame_latent(), confignet_model
             )
-            basic_ui.set_next_embeddings(new_embeddings)
+            basic_ui.retarget(new_embeddings)
         if key == ord("b") or args.test_mode:
             if input_images is None or len(input_images) != 1:
                 print("For one-shot learning pass a single input image path")
@@ -181,7 +181,7 @@ def run(args):
             current_embedding_unmodified, current_rotation = confignet_model.fine_tune_on_img(
                 input_images[0], n_iters
             )
-            basic_ui.set_next_embeddings(current_embedding_unmodified)
+            basic_ui.retarget(current_embedding_unmodified)
         if args.test_mode:
             break
 

@@ -5,6 +5,8 @@ from __future__ import annotations
 import argparse
 import sys
 
+from confignet_tpu.core.profiling import maybe_trace
+
 import numpy as np
 
 
@@ -13,6 +15,8 @@ def parse_args(args):
     parser.add_argument("--training_set_path", required=True)
     parser.add_argument("--validation_set_path", required=True)
     parser.add_argument("--output_dir", required=True)
+    parser.add_argument("--profile_dir", default=None,
+                        help="Capture a jax.profiler trace of training")
     parser.add_argument("--n_epochs", type=int, default=1000)
     parser.add_argument("--steps_per_epoch", type=int, default=100)
     parser.add_argument("--batch_size", type=int, default=32)
@@ -39,8 +43,9 @@ def parse_args(args):
 
     np.random.seed(0)
     classifier = CelebaAttributeClassifier(config)
-    classifier.train(training_set, validation_set, args.output_dir,
-                     n_epochs=args.n_epochs, steps_per_epoch=args.steps_per_epoch)
+    with maybe_trace(args.profile_dir):
+        classifier.train(training_set, validation_set, args.output_dir,
+                         n_epochs=args.n_epochs, steps_per_epoch=args.steps_per_epoch)
 
 
 if __name__ == "__main__":

@@ -17,6 +17,7 @@ import sys
 
 def parse_args(args):
     from confignet_tpu.core import remote_logging
+    from confignet_tpu.core.profiling import maybe_trace
     from confignet_tpu.core.randomness import initialize_random_seed
 
     parser = argparse.ArgumentParser(description="ConfigNet training")
@@ -41,6 +42,9 @@ def parse_args(args):
     parser.add_argument("--config_override", default=None,
                         help="JSON string or path to a JSON file merged over "
                              "the default config (TPU extension)")
+    parser.add_argument("--profile_dir", default=None,
+                        help="Capture a jax.profiler trace of training into "
+                             "this directory (view with TensorBoard/Perfetto)")
     parser.add_argument("--resume", action="store_true", default=False,
                         help="Scan output_dir (and $PT_PREV_OUTPUT_DIR) for the "
                              "newest checkpoint and continue from it")
@@ -112,11 +116,12 @@ def parse_args(args):
     first_stage_output_dir = os.path.join(args.output_dir, "first_stage")
     if resumed_stage2 is None:
         first_stage_model = resumed_stage1 or ConfigNetFirstStage(config)
-        first_stage_model.train(
-            real_training_set, synth_training_set, first_stage_output_dir, args.log_dir,
-            n_steps=args.stage_1_training_steps,
-            n_samples_for_metrics=args.n_samples_for_metrics, aml_run=aml_run, mesh=mesh,
-        )
+        with maybe_trace(args.profile_dir):
+            first_stage_model.train(
+                real_training_set, synth_training_set, first_stage_output_dir, args.log_dir,
+                n_steps=args.stage_1_training_steps,
+                n_samples_for_metrics=args.n_samples_for_metrics, aml_run=aml_run, mesh=mesh,
+            )
         first_stage_weights = first_stage_model.get_weights()
 
     # --- stage 2 ---
@@ -127,12 +132,13 @@ def parse_args(args):
         second_stage_model = ConfigNet(config)
         second_stage_model.set_weights(first_stage_weights)
 
-    second_stage_model.train(
-        real_training_set, synth_training_set, validation_set,
-        args.attribute_classifier_path, args.output_dir, args.log_dir,
-        n_steps=args.stage_2_training_steps,
-        n_samples_for_metrics=args.n_samples_for_metrics, aml_run=aml_run, mesh=mesh,
-    )
+    with maybe_trace(args.profile_dir):
+        second_stage_model.train(
+            real_training_set, synth_training_set, validation_set,
+            args.attribute_classifier_path, args.output_dir, args.log_dir,
+            n_steps=args.stage_2_training_steps,
+            n_samples_for_metrics=args.n_samples_for_metrics, aml_run=aml_run, mesh=mesh,
+        )
 
 
 if __name__ == "__main__":

@@ -5,6 +5,8 @@ import argparse
 import os
 import sys
 
+from confignet_tpu.core.profiling import maybe_trace
+
 
 def parse_args(args):
     from confignet_tpu.core.randomness import initialize_random_seed
@@ -14,6 +16,8 @@ def parse_args(args):
                         help="Path to a confignet model used to train the latent gan")
     parser.add_argument("--training_set_path", required=True)
     parser.add_argument("--output_dir", required=True)
+    parser.add_argument("--profile_dir", default=None,
+                        help="Capture a jax.profiler trace of training")
     parser.add_argument("--num_mlp_layers", type=int, default=3)
     parser.add_argument("--hidden_layer_size_multiplier", type=float, default=1.5)
     parser.add_argument("--latent_distribution_type", default="normal")
@@ -48,8 +52,9 @@ def parse_args(args):
         "n_samples_for_metrics": args.n_samples_for_metrics,
     }
     latent_gan = LatentGAN(config)
-    latent_gan.train(training_set, confignet_model, args.output_dir, args.log_dir,
-                     n_iters=args.n_training_steps)
+    with maybe_trace(args.profile_dir):
+        latent_gan.train(training_set, confignet_model, args.output_dir, args.log_dir,
+                         n_iters=args.n_training_steps)
 
 
 if __name__ == "__main__":

@@ -20,6 +20,36 @@ def update_loss_dict(main_loss_dict: Dict[str, List[float]], new_losses: Dict[st
         main_loss_dict.setdefault(key, []).append(val)
 
 
+class LossFlusher:
+    """Buffers per-step device-side loss pytrees and fetches them in batches.
+
+    A per-step ``jax.device_get`` serializes host and device (the reference's
+    eager loop pays the same cost implicitly; over the axon TPU tunnel one
+    round-trip alone is ~35-40 ms).  Instead the train loops append the
+    device scalars here and flush on a cadence — dispatch stays async and
+    the device->host sync amortizes over ``period`` steps.
+    """
+
+    def __init__(self, period: int = 50):
+        self.period = max(1, int(period))
+        self._pending: list = []
+
+    def append(self, losses) -> bool:
+        """Queue one step's device losses; True when a flush is due."""
+        self._pending.append(losses)
+        return len(self._pending) >= self.period
+
+    def flush(self) -> list:
+        """Fetch all pending losses in one transfer (oldest first)."""
+        import jax
+
+        if not self._pending:
+            return []
+        fetched = jax.device_get(self._pending)
+        self._pending = []
+        return fetched
+
+
 class TensorBoardWriter:
     """Thin optional wrapper over tf.summary; silently no-ops when TF is
     unavailable."""

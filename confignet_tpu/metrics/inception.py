@@ -57,18 +57,35 @@ class InceptionFeatureExtractor:
         return out
 
 
-def compute_FID(features_g: np.ndarray, features_r: np.ndarray) -> float:
-    """Frechet inception distance (reference: inception_distance.py:29-43)."""
+def _trace_sqrt_product(cov_g: np.ndarray, cov_r: np.ndarray) -> float:
+    """tr(sqrtm(cov_g @ cov_r)) for symmetric PSD covariances.
+
+    The reference computes ``scipy.linalg.sqrtm(cov_g @ cov_r)`` and traces
+    it (inception_distance.py:29-43).  For PSD matrices that equals
+    ``tr(sqrtm(S^{1/2} cov_r S^{1/2}))`` with S = cov_g — two symmetric
+    eigendecompositions instead of a general Schur sqrtm, which is minutes
+    vs seconds at 2048x2048 (pinned equivalent to sqrtm in
+    tests/test_metrics.py).
+    """
     import scipy.linalg
 
+    vals_g, vecs_g = scipy.linalg.eigh(cov_g)
+    sqrt_g = (vecs_g * np.sqrt(np.clip(vals_g, 0.0, None))) @ vecs_g.T
+    inner = sqrt_g @ cov_r @ sqrt_g
+    vals = scipy.linalg.eigvalsh(inner)
+    return float(np.sum(np.sqrt(np.clip(vals, 0.0, None))))
+
+
+def compute_FID(features_g: np.ndarray, features_r: np.ndarray) -> float:
+    """Frechet inception distance (reference: inception_distance.py:29-43)."""
     mean_g = np.mean(features_g, axis=0)
     mean_r = np.mean(features_r, axis=0)
     cov_g = np.cov(features_g, rowvar=False)
     cov_r = np.cov(features_r, rowvar=False)
 
     centroid_distance = float(np.linalg.norm(mean_g - mean_r) ** 2)
-    covmean = scipy.linalg.sqrtm(np.dot(cov_g, cov_r))
-    covariance_distance = float(np.real(np.trace(cov_g + cov_r - 2 * covmean)))
+    trace_sqrt = _trace_sqrt_product(cov_g, cov_r)
+    covariance_distance = float(np.trace(cov_g + cov_r)) - 2.0 * trace_sqrt
     return centroid_distance + covariance_distance
 
 

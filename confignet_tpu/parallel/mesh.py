@@ -12,7 +12,7 @@ on 1 chip, a v5e-8 slice, or a multi-host pod — only the mesh changes.
 """
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Sequence
+from typing import Any, Optional, Sequence
 
 import jax
 import numpy as np
@@ -58,18 +58,3 @@ def maybe_initialize_distributed() -> None:
             jax.distributed.initialize()
         except (RuntimeError, ValueError):
             pass
-
-
-def pad_to_multiple(batch_arrays: Dict[str, np.ndarray], multiple: int):
-    """Pad the leading axis of every array to a multiple of ``multiple``
-    (mesh size) so batches always shard evenly; returns (padded, real_count).
-    """
-    arrays = dict(batch_arrays)
-    sizes = {k: v.shape[0] for k, v in arrays.items()}
-    n = max(sizes.values()) if sizes else 0
-    padded_n = -(-n // multiple) * multiple if n else 0
-    for k, v in arrays.items():
-        if v.shape[0] < padded_n:
-            pad = np.repeat(v[-1:], padded_n - v.shape[0], axis=0)
-            arrays[k] = np.concatenate([v, pad], axis=0)
-    return arrays, n

@@ -42,6 +42,7 @@ DEFAULT_CONFIG: Dict[str, Any] = {
     "hidden_layer_size_multiplier": 1.5,
     "n_samples_for_metrics": 1000,
     "verbose_log_period": 500,
+    "loss_print_period": 50,  # steps between device->host loss flushes
     "logging_img_square_size": 6,
     "seed": 0,
 }
@@ -209,28 +210,50 @@ class LatentGAN:
         if self._train_step_fn is None:
             self._train_step_fn = self._build_train_step()
 
+        from confignet_tpu.core.logging_utils import LossFlusher
+
         batch_size = self.config["batch_size"]
+        verbose_p = self.config["verbose_log_period"]
+        # Buffer device losses; no per-step device->host sync (see
+        # first_stage.train).
+        flusher = LossFlusher(self.config.get("loss_print_period", 50))
+        steps_pending = []
         for step_number in range(n_iters):
             idx = np.random.randint(0, gt_embeddings.shape[0], batch_size)
             real = gt_embeddings_dev[jnp.asarray(idx)]
             self.state, losses = self._train_step_fn(self.state, self.keychain.next(), real)
-            losses = jax.device_get(losses)
+            steps_pending.append(step_number)
+
+            flush_due = flusher.append(losses)
+            at_verbose = step_number % verbose_p == 0
+            if not (flush_due or at_verbose or step_number == n_iters - 1):
+                continue
+
+            fetched = flusher.flush()
+            for s, l in zip(steps_pending, fetched):
+                self._write_scalar_logs(s, l["d"], l["g"])
             print(
                 "[step: %d] [D loss: %f] [G loss: %f]"
-                % (step_number, losses["d"]["loss_sum"], losses["g"]["loss_sum"])
+                % (step_number, fetched[-1]["d"]["loss_sum"], fetched[-1]["g"]["loss_sum"])
             )
-            self.write_logs(output_dir, step_number, losses["d"], losses["g"], confignet_model)
+            steps_pending = []
+            if at_verbose:
+                self._write_verbose_logs(output_dir, step_number, confignet_model)
 
-    def write_logs(self, output_dir, step_number, d_loss, g_loss, confignet_model) -> None:
+    def _write_scalar_logs(self, step_number, d_loss, g_loss) -> None:
         if self.log_writer is not None:
             for key, value in d_loss.items():
                 self.log_writer.scalar("discr_" + key, float(value), step_number)
             for key, value in g_loss.items():
                 self.log_writer.scalar("gen_" + key, float(value), step_number)
 
+    def write_logs(self, output_dir, step_number, d_loss, g_loss, confignet_model) -> None:
+        self._write_scalar_logs(step_number, d_loss, g_loss)
         if step_number % self.config["verbose_log_period"] != 0:
             return
+        self._write_verbose_logs(output_dir, step_number, confignet_model)
 
+    def _write_verbose_logs(self, output_dir, step_number, confignet_model) -> None:
         predicted = self.generate_latents_smoothed(self.inputs_for_logs["latents"])
         generated_images = confignet_model.generate_images(
             predicted, self.inputs_for_logs["rotations"]

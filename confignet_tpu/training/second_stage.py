@@ -46,6 +46,7 @@ class ConfigNet(ConfigNetFirstStage):
 
     def __init__(self, config: Dict[str, Any], initialize: bool = True):
         self._fine_tuned_generator_params = None
+        self._fine_tune_step_cache = {}
         super().__init__(config, initialize=initialize)
         self.config["model_type"] = self.MODEL_TYPE
         self.controllability_metrics = None
@@ -380,32 +381,48 @@ class ConfigNet(ConfigNetFirstStage):
 
         import time
 
-        for _ in range(start_step, n_steps):
-            iter_start = time.perf_counter()
+        from confignet_tpu.core.logging_utils import LossFlusher, update_loss_dict
+
+        # No per-step device->host sync on the hot path (see first_stage).
+        flusher = LossFlusher(self.config.get("loss_print_period", 50))
+        image_p = self.config["image_checkpoint_period"]
+        metrics_p = self.config["metrics_checkpoint_period"]
+        window_start = time.perf_counter()
+        window_len = 0
+
+        for step in range(start_step, n_steps):
             batch = self._sample_host_batch(real_training_set, synth_training_set)
             key = self.keychain.next()
             self.state, losses = self._train_step_fn(
                 self.state, key, batch, vgg_params, vggface_params
             )
-            losses = jax.device_get(losses)
-            iter_time = time.perf_counter() - iter_start
+            window_len += 1
 
+            flush_due = flusher.append(losses)
+            at_checkpoint = step % image_p == 0 or step % metrics_p == 0
+            if not (flush_due or at_checkpoint or step == n_steps - 1):
+                continue
+
+            for fetched in flusher.flush():
+                update_loss_dict(self.g_losses, fetched["g"])
+                update_loss_dict(self.d_losses, fetched["d"])
+                update_loss_dict(self.synth_d_losses, fetched["synth_d"])
+                update_loss_dict(self.latent_d_losses, fetched["latent_d"])
+            iter_time = (time.perf_counter() - window_start) / max(window_len, 1)
+            window_start = time.perf_counter()
+            window_len = 0
             print(
-                "[D loss: %f] [synth_D loss: %f] [latent_D_loss: %f] [G loss: %f]"
+                "[step %d] [D loss: %f] [synth_D loss: %f] [latent_D_loss: %f] [G loss: %f]"
                 % (
-                    losses["d"]["loss_sum"],
-                    losses["synth_d"]["loss_sum"],
-                    losses["latent_d"]["loss_sum"],
-                    losses["g"]["loss_sum"],
+                    step,
+                    self.d_losses["loss_sum"][-1],
+                    self.synth_d_losses["loss_sum"][-1],
+                    self.latent_d_losses["loss_sum"][-1],
+                    self.g_losses["loss_sum"][-1],
                 )
             )
-            from confignet_tpu.core.logging_utils import update_loss_dict
-
-            update_loss_dict(self.g_losses, losses["g"])
-            update_loss_dict(self.d_losses, losses["d"])
-            update_loss_dict(self.synth_d_losses, losses["synth_d"])
-            update_loss_dict(self.latent_d_losses, losses["latent_d"])
-            self.run_checkpoints(output_dir, iter_time)
+            if at_checkpoint:
+                self.run_checkpoints(output_dir, iter_time)
 
     # ------------------------------------------------------------------
     # Checkpoint visualization: autoencoding panel
@@ -574,12 +591,16 @@ class ConfigNet(ConfigNetFirstStage):
                 opt_vars, opt_state, images_dev, disc_params, latent_disc_params,
                 regressor_params, vgg_params, vggface_params,
             )
-            print(float(loss_sum))
+            # Only sync the device per-iteration when debugging output is
+            # requested; otherwise the whole fine-tune dispatches async.
             if img_output_dir is not None:
+                print(float(loss_sum))
                 self._imwrite(
                     os.path.join(img_output_dir, "output_%02d.png" % step_number),
                     unit_range_to_uint8(np.asarray(out_imgs))[0],
                 )
+        if n_iters > 0:
+            print("fine-tune final loss: %f" % float(loss_sum))
 
         opt_vars = jax.device_get(opt_vars)
         self._fine_tuned_generator_params = jax.tree_util.tree_map(
@@ -596,6 +617,12 @@ class ConfigNet(ConfigNetFirstStage):
         return embeddings, np.asarray(opt_vars["rotations"])
 
     def _get_fine_tune_step(self, force_neutral: bool, n_imgs: int, tx):
+        # Cache the compiled step: repeat fine-tunes with the same shape
+        # (the demo's 'b' key, benchmarks) must not recompile.
+        cache_key = (force_neutral, n_imgs)
+        cached = self._fine_tune_step_cache.get(cache_key)
+        if cached is not None:
+            return cached
         cfg = self.config
         w_img = cfg["image_loss_weight"]
         w_dom = cfg["domain_adverserial_loss_weight"]
@@ -643,4 +670,5 @@ class ConfigNet(ConfigNetFirstStage):
             new_vars = optax.apply_updates(opt_vars, updates)
             return new_vars, new_opt_state, loss_sum, out
 
+        self._fine_tune_step_cache[cache_key] = step
         return step

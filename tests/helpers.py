@@ -52,7 +52,7 @@ TINY_FIRST_STAGE_CONFIG = {
     "n_adain_mlp_layers": 2,
     "n_discr_features_at_layer_0": 4,
     "max_discr_filters": 16,
-    "n_discr_layers": 5,
+    "n_discr_layers": 3,  # 3 instead of 5: ~2x faster CPU compiles of the fused steps
     "batch_size": 4,
     "n_latent_discr_layers": 2,
     "perceptual_taps": [1, 2],

@@ -8,6 +8,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # compiles fused train steps on the 8-device CPU mesh
+
 from helpers import TINY_FIRST_STAGE_CONFIG
 
 ATTRS = [

@@ -52,3 +52,21 @@ def test_latent_gan_requires_latent_dim():
 
     with pytest.raises(ValueError):
         LatentGAN({})
+
+
+def test_latent_gan_multidevice_mesh_step():
+    """LatentGAN step with state replicated and the real-embedding batch
+    sharded over the virtual 8-device CPU mesh."""
+    from confignet_tpu.parallel import create_mesh, replicate, shard_batch
+
+    mesh = create_mesh()
+    assert mesh.size == 8
+    gan = LatentGAN({"latent_dim": 10, "batch_size": 16})
+    gan.state = replicate(mesh, gan.state)
+    real = shard_batch(
+        mesh, np.random.default_rng(0).normal(size=(16, 10)).astype(np.float32)
+    )
+    step = gan._build_train_step()
+    gan.state, losses = step(gan.state, gan.keychain.next(), real)
+    assert np.isfinite(float(losses["g"]["loss_sum"]))
+    assert np.isfinite(float(losses["d"]["loss_sum"]))

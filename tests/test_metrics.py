@@ -64,6 +64,7 @@ def classifier():
     )
 
 
+@pytest.mark.slow
 def test_attribute_classifier_train_and_predict(classifier, tmp_path, rng):
     class AttrDataset(FakeDataset):
         pass
@@ -89,6 +90,7 @@ def test_attribute_classifier_train_and_predict(classifier, tmp_path, rng):
     assert probs2.shape == (2, len(ATTRS))
 
 
+@pytest.mark.slow
 def test_attribute_classifier_save_load(classifier, tmp_path, rng):
     classifier.save(str(tmp_path), "clf")
     from confignet_tpu.metrics.celeba_attribute_prediction import CelebaAttributeClassifier
@@ -155,3 +157,18 @@ def test_controllability_metrics_end_to_end(classifier, rng, tmp_path):
     history = {"training_step_number": [0]}
     metrics_obj.update_and_log_metrics(imgs, history, str(tmp_path))
     assert os.path.exists(os.path.join(str(tmp_path), "controllability_metrics.json"))
+
+
+def test_fid_eigh_matches_sqrtm(rng):
+    """The eigh-based trace-of-sqrt-product must equal the reference's
+    scipy.linalg.sqrtm formulation on PSD covariances."""
+    import scipy.linalg
+
+    from confignet_tpu.metrics.inception import _trace_sqrt_product
+
+    a = rng.normal(size=(40, 12)).astype(np.float64)
+    b = rng.normal(size=(50, 12)).astype(np.float64) * 1.7 + 0.3
+    cov_a, cov_b = np.cov(a, rowvar=False), np.cov(b, rowvar=False)
+    ours = _trace_sqrt_product(cov_a, cov_b)
+    ref = float(np.real(np.trace(scipy.linalg.sqrtm(cov_a @ cov_b))))
+    np.testing.assert_allclose(ours, ref, rtol=1e-8)

@@ -192,6 +192,7 @@ def test_r1_differentiable_wrt_params(rng):
     assert np.all(np.isfinite(np.asarray(g)))
 
 
+@pytest.mark.slow
 def test_generator_512_path():
     """The >256 branch adds map_2d_2c and yields 512px output."""
     gen = HologanGenerator(
@@ -205,3 +206,30 @@ def test_generator_512_path():
     assert {"map_2d_2b", "map_2d_2c"} <= names
     out = gen.apply(variables, z, rot)
     assert out.shape == (1, 512, 512, 3)
+
+
+def test_generator_bf16_matches_f32():
+    """bf16 compute (incl. the bf16 feature-volume resample,
+    models/generator.py) must stay close to the f32 image: bounds the
+    numeric cost of the throughput mode."""
+    import jax
+    import jax.numpy as jnp
+    from confignet_tpu.models.generator import HologanGenerator
+
+    kw = dict(latent_dim=8, output_shape=(128, 128), n_adain_mlp_units=8,
+              rotation_resample="gather")
+    gen_f32 = HologanGenerator(**kw)
+    gen_bf16 = HologanGenerator(dtype=jnp.bfloat16, **kw)
+
+    z = jax.random.normal(jax.random.PRNGKey(1), (2, 8))
+    rot = jax.random.uniform(jax.random.PRNGKey(2), (2, 3), minval=-0.4, maxval=0.4)
+    params = gen_f32.init(jax.random.PRNGKey(0), z, rot)["params"]
+
+    out_f32 = np.asarray(gen_f32.apply({"params": params}, z, rot), np.float32)
+    out_bf16 = np.asarray(
+        gen_bf16.apply({"params": params}, z, rot), np.float32
+    )
+    assert out_f32.shape == out_bf16.shape
+    diff = np.abs(out_f32 - out_bf16)
+    assert diff.mean() < 0.02, diff.mean()
+    assert np.quantile(diff, 0.99) < 0.1, np.quantile(diff, 0.99)

@@ -15,6 +15,14 @@ from confignet_tpu.core.reference_import import (
 )
 
 
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    from confignet_tpu.training.first_stage import ConfigNetFirstStage
+
+    return ConfigNetFirstStage(dict(TINY_FIRST_STAGE_CONFIG))
+
+
 def test_keras_weight_ordering_rules():
     """Pin the ordering rules: sub-layer weights are depth-first; the
     CURRENT Keras orders layers appended alternately to two python-list
@@ -82,10 +90,8 @@ def _weight_list_for_paths(params, paths):
     return out
 
 
-def test_generator_import_roundtrip():
-    from confignet_tpu.training.first_stage import ConfigNetFirstStage
-
-    model = ConfigNetFirstStage(dict(TINY_FIRST_STAGE_CONFIG))
+def test_generator_import_roundtrip(tiny_model):
+    model = tiny_model
     weights = model.get_weights()
     paths = generator_weight_paths(model.config["output_shape"][0])
     weight_list = _weight_list_for_paths(weights["generator"], paths)
@@ -102,10 +108,8 @@ def test_generator_import_roundtrip():
         )
 
 
-def test_import_rejects_shape_mismatch():
-    from confignet_tpu.training.first_stage import ConfigNetFirstStage
-
-    model = ConfigNetFirstStage(dict(TINY_FIRST_STAGE_CONFIG))
+def test_import_rejects_shape_mismatch(tiny_model):
+    model = tiny_model
     weights = model.get_weights()
     paths = generator_weight_paths(model.config["output_shape"][0])
     weight_list = _weight_list_for_paths(weights["generator"], paths)
@@ -114,10 +118,8 @@ def test_import_rejects_shape_mismatch():
         assign_weight_list(weights["generator"], weight_list, paths, "generator")
 
 
-def test_import_rejects_live_dead_kernel():
-    from confignet_tpu.training.first_stage import ConfigNetFirstStage
-
-    model = ConfigNetFirstStage(dict(TINY_FIRST_STAGE_CONFIG))
+def test_import_rejects_live_dead_kernel(tiny_model):
+    model = tiny_model
     weights = model.get_weights()
     paths = generator_weight_paths(model.config["output_shape"][0])
     weight_list = _weight_list_for_paths(weights["generator"], paths)
@@ -126,14 +128,12 @@ def test_import_rejects_live_dead_kernel():
         assign_weight_list(weights["generator"], weight_list, paths, "generator")
 
 
-def test_path_tables_cover_tiny_models():
+def test_path_tables_cover_tiny_models(tiny_model):
     """Every declared path exists in the corresponding params tree and the
     counts match exactly (no unmapped parameters except declared drops)."""
     from flax import traverse_util
 
-    from confignet_tpu.training.first_stage import ConfigNetFirstStage
-
-    model = ConfigNetFirstStage(dict(TINY_FIRST_STAGE_CONFIG))
+    model = tiny_model
     weights = model.get_weights()
 
     cases = [

@@ -30,6 +30,7 @@ def test_encode_images(model):
     assert np.all(np.abs(rotations) <= ranges + 1e-6)
 
 
+@pytest.mark.slow
 def test_stage2_train_step(model, dataset, tmp_path):
     model.setup_training(str(tmp_path), dataset, n_samples_for_metrics=2,
                          real_training_set=dataset, validation_set=dataset)
@@ -47,6 +48,7 @@ def test_stage2_train_step(model, dataset, tmp_path):
             "latent_regression_loss"} <= g_keys
 
 
+@pytest.mark.slow
 def test_stage1_to_stage2_weight_transfer():
     cfg = dict(TINY_FIRST_STAGE_CONFIG)
     stage1 = ConfigNetFirstStage(cfg)
@@ -62,6 +64,7 @@ def test_stage1_to_stage2_weight_transfer():
     assert "real_encoder" in stage2.state.generator.params
 
 
+@pytest.mark.slow
 def test_fine_tune_on_img(model):
     img = np.random.default_rng(1).integers(0, 256, (128, 128, 3), dtype=np.uint8)
     emb_before, _ = model.encode_images(img[np.newaxis])
@@ -81,6 +84,7 @@ def test_fine_tune_on_img(model):
     assert imgs.shape == (1, 128, 128, 3)
 
 
+@pytest.mark.slow
 def test_fine_tune_force_neutral(model):
     img = np.random.default_rng(2).integers(0, 256, (128, 128, 3), dtype=np.uint8)
     embeddings, _ = model.fine_tune_on_img(img, n_iters=1, force_neutral_expression=True)
@@ -94,6 +98,7 @@ def test_fine_tune_force_neutral(model):
     np.testing.assert_allclose(embeddings[:, idxs], neutral[:, idxs], atol=1e-5)
 
 
+@pytest.mark.slow
 def test_stage2_save_load(model, tmp_path):
     model.facemodel_param_distributions = {}
     model.save(str(tmp_path), "model")
@@ -106,3 +111,25 @@ def test_stage2_save_load(model, tmp_path):
     l2, r2 = loaded.encode_images(img)
     np.testing.assert_allclose(l1, l2, atol=1e-6)
     np.testing.assert_allclose(r1, r2, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_multidevice_mesh_step(dataset, tmp_path):
+    """Stage-2 data-parallel step (encoder in the G player) over the virtual
+    8-device CPU mesh — the richer step of the two
+    (reference: confignet_second_stage.py:149-218)."""
+    from confignet_tpu.parallel import create_mesh, replicate
+
+    model = ConfigNet(dict(TINY_FIRST_STAGE_CONFIG, batch_size=16))
+    mesh = create_mesh()
+    assert mesh.size == 8
+    model.setup_training(str(tmp_path), dataset, n_samples_for_metrics=2,
+                         real_training_set=dataset, validation_set=dataset, mesh=mesh)
+    model.state = replicate(mesh, model.state)
+    step_fn = model._build_train_step()
+    vgg = replicate(mesh, model.perceptual_loss.variables["params"])
+    vggface = replicate(mesh, model.perceptual_loss_face_reco.variables["params"])
+
+    batch = model._sample_host_batch(dataset, dataset)
+    model.state, losses = step_fn(model.state, model.keychain.next(), batch, vgg, vggface)
+    assert np.isfinite(float(losses["g"]["loss_sum"]))
