@@ -15,6 +15,7 @@ whole chain.  The first call is excluded (compile).
 from __future__ import annotations
 
 import json
+import os
 import time
 
 BENCH_CONFIG = {
@@ -95,19 +96,45 @@ def bench_stage1(results, dtype_name, n_iters=10):
     step = model._build_train_step()
     vgg = model.perceptual_loss.variables["params"]
 
-    def make_args():
-        return (model.keychain.next(), model._sample_host_batch(ds, ds), vgg)
+    # Measure the same overlapped path the train loop runs: batch sampling +
+    # host->device staging on a background thread (data/prefetch.py).  With
+    # BENCH_STAGED=1, batches are pre-staged on device and reused so the
+    # number is the pure device step time (what a co-located TPU host sees —
+    # the axon tunnel's ~60 MB/s host->device path otherwise floors it).
+    from confignet_tpu.data.prefetch import BatchPrefetcher
 
-    # compile + warm
-    state, losses = step(model.state, *make_args())
-    float(jax.device_get(losses["g"]["loss_sum"]))
+    staged = os.environ.get("BENCH_STAGED") == "1"
+    if staged:
+        batches = [jax.device_put(model._sample_host_batch(ds, ds)) for _ in range(3)]
+        jax.block_until_ready(batches)
 
-    state, elapsed = _time_chained_steps(
-        step, state, make_args, n_iters,
-        lambda l: float(jax.device_get(l["g"]["loss_sum"])),
-    )
+        def make_args(i=[0]):
+            i[0] += 1
+            return (model.keychain.next(), batches[i[0] % len(batches)], vgg)
+
+        state, losses = step(model.state, *make_args())
+        float(jax.device_get(losses["g"]["loss_sum"]))
+        state, elapsed = _time_chained_steps(
+            step, state, make_args, n_iters,
+            lambda l: float(jax.device_get(l["g"]["loss_sum"])),
+        )
+    else:
+        with BatchPrefetcher(lambda: model._sample_host_batch(ds, ds)) as pf:
+            def make_args():
+                return (model.keychain.next(), pf.next(), vgg)
+
+            # compile + warm
+            state, losses = step(model.state, *make_args())
+            float(jax.device_get(losses["g"]["loss_sum"]))
+
+            state, elapsed = _time_chained_steps(
+                step, state, make_args, n_iters,
+                lambda l: float(jax.device_get(l["g"]["loss_sum"])),
+            )
     steps_per_sec = n_iters / elapsed
-    _emit(results, f"stage1_train_step_{dtype_name}", steps_per_sec, "steps/s",
+    suffix = "" if cfg["batch_size"] == 24 else f"_b{cfg['batch_size']}"
+    suffix += "_staged" if staged else ""
+    _emit(results, f"stage1_train_step_{dtype_name}{suffix}", steps_per_sec, "steps/s",
           batch=cfg["batch_size"],
           imgs_per_sec=round(steps_per_sec * cfg["batch_size"], 1))
 
@@ -129,18 +156,22 @@ def bench_stage2(results, dtype_name, n_iters=10):
     vgg = model.perceptual_loss.variables["params"]
     vggface = model.perceptual_loss_face_reco.variables["params"]
 
-    def make_args():
-        return (model.keychain.next(), model._sample_host_batch(ds, ds), vgg, vggface)
+    from confignet_tpu.data.prefetch import BatchPrefetcher
 
-    state, losses = step(model.state, *make_args())
-    float(jax.device_get(losses["g"]["loss_sum"]))
+    with BatchPrefetcher(lambda: model._sample_host_batch(ds, ds)) as pf:
+        def make_args():
+            return (model.keychain.next(), pf.next(), vgg, vggface)
 
-    state, elapsed = _time_chained_steps(
-        step, state, make_args, n_iters,
-        lambda l: float(jax.device_get(l["g"]["loss_sum"])),
-    )
+        state, losses = step(model.state, *make_args())
+        float(jax.device_get(losses["g"]["loss_sum"]))
+
+        state, elapsed = _time_chained_steps(
+            step, state, make_args, n_iters,
+            lambda l: float(jax.device_get(l["g"]["loss_sum"])),
+        )
     steps_per_sec = n_iters / elapsed
-    _emit(results, f"stage2_train_step_{dtype_name}", steps_per_sec, "steps/s",
+    suffix = "" if cfg["batch_size"] == 24 else f"_b{cfg['batch_size']}"
+    _emit(results, f"stage2_train_step_{dtype_name}{suffix}", steps_per_sec, "steps/s",
           batch=cfg["batch_size"],
           imgs_per_sec=round(steps_per_sec * cfg["batch_size"], 1))
 
@@ -163,16 +194,111 @@ def bench_fine_tune(results, n_iters=50):
           total_s_for_50=round(elapsed, 2))
 
 
+def bench_serving(results, n_iters=20):
+    """End-to-end serving path: encode a real photo batch -> splice one
+    facemodel attribute into the latents -> generate, all on device.  This
+    is the demo/eval hot path (encode_images + set_facemodel_param_in_latents
+    + generate_images), measured as one jitted pipeline."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from confignet_tpu.training.second_stage import ConfigNet
+
+    cfg = dict(BENCH_CONFIG, compute_dtype="bfloat16")
+    model = ConfigNet(cfg)
+    size = cfg["output_shape"][0]
+    batch = 128
+
+    rng = np.random.default_rng(0)
+    # Staged on device once: production serving prefetches/pipelines the
+    # uint8 input stream; over the axon tunnel a per-call 25 MB host->device
+    # copy would measure tunnel bandwidth, not the TPU pipeline.
+    imgs = jax.device_put(
+        rng.integers(0, 256, (batch, size, size, 3), dtype=np.uint8))
+
+    enc_params = model.state.generator.params["real_encoder"]
+    gen_params = model.state.generator_smoothed
+    synth_params = model.state.generator.params["synthetic_encoder"]
+    param_name = "blendshape_values"
+    value = jnp.zeros((1, dict(model.config["facemodel_inputs"])[param_name][0]))
+    idxs = model.get_facemodel_param_idxs_in_latent(param_name)
+    begin, end = idxs.start, idxs.stop
+    synth_module = model.synthetic_encoder_module
+
+    def pipeline(enc_p, gen_p, synth_p, u8_imgs, value):
+        floats = u8_imgs.astype(jnp.float32) / 127.5 - 1.0
+        latents, rotations = model.encoder_module.apply({"params": enc_p}, floats)
+        slice_ = synth_module.apply(
+            {"params": synth_p}, param_name, value,
+            method=synth_module.encode_single_param)
+        latents = latents.at[:, begin:end].set(slice_)
+        return model.generator_module_fast.apply({"params": gen_p}, latents, rotations)
+
+    fn = jax.jit(pipeline)
+    out = fn(enc_params, gen_params, synth_params, imgs, value)
+    np.asarray(jax.device_get(out[0, 0, 0]))  # compile + sync
+
+    start = time.perf_counter()
+    for _ in range(n_iters):
+        out = fn(enc_params, gen_params, synth_params, imgs, value)
+    np.asarray(jax.device_get(out[0, 0, 0]))
+    elapsed = time.perf_counter() - start
+    _emit(results, "serving_encode_splice_generate", batch * n_iters / elapsed,
+          "img/s", batch=batch)
+
+
+def bench_generator_512(results, n_iters=10):
+    """512px generator forward throughput (the reference ships 256 and 512
+    model sizes; bench.py's headline covers 256)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from confignet_tpu.models.generator import HologanGenerator
+
+    latent_dim = 145
+    batch = 64
+    gen = HologanGenerator(latent_dim=latent_dim, output_shape=(512, 512),
+                           dtype=jnp.bfloat16)
+    variables = jax.jit(gen.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, latent_dim)), jnp.zeros((1, 3)))
+    rng = np.random.default_rng(0)
+    z = jnp.asarray(rng.normal(size=(batch, latent_dim)).astype(np.float32))
+    rot = jnp.asarray(rng.uniform(-0.3, 0.3, size=(batch, 3)).astype(np.float32))
+
+    fn = jax.jit(lambda p, z, r: gen.apply({"params": p}, z, r))
+    out = fn(variables["params"], z, rot)
+    np.asarray(jax.device_get(out[0, 0, 0]))
+
+    start = time.perf_counter()
+    for _ in range(n_iters):
+        out = fn(variables["params"], z + 1e-6, rot)
+    np.asarray(jax.device_get(out[0, 0, 0]))
+    elapsed = time.perf_counter() - start
+    _emit(results, "generator_fwd_512_throughput", batch * n_iters / elapsed,
+          "img/s", batch=batch)
+
+
 def main() -> None:
     import argparse
 
     parser = argparse.ArgumentParser()
     parser.add_argument("--only", default=None,
                         help="comma list: stage1_f32,stage1_bf16,stage2_f32,"
-                             "stage2_bf16,fine_tune")
+                             "stage2_bf16,fine_tune,serving,gen512")
     parser.add_argument("--iters", type=int, default=10)
+    parser.add_argument("--batch_size", type=int, default=None,
+                        help="override the train-step batch (default 24, the "
+                             "reference value); throughput probes use 96/192")
+    parser.add_argument("--r1_heads", default=None, choices=["all", "final"],
+                        help="override R1 penalty head selection")
     args = parser.parse_args()
     only = set(args.only.split(",")) if args.only else None
+    if args.batch_size is not None:
+        BENCH_CONFIG["batch_size"] = args.batch_size
+    if args.r1_heads is not None:
+        BENCH_CONFIG["r1_heads"] = args.r1_heads
 
     results = []
 
@@ -185,6 +311,8 @@ def main() -> None:
         ("stage2_f32", lambda: bench_stage2(results, "float32", args.iters)),
         ("stage2_bf16", lambda: bench_stage2(results, "bfloat16", args.iters)),
         ("fine_tune", lambda: bench_fine_tune(results)),
+        ("serving", lambda: bench_serving(results)),
+        ("gen512", lambda: bench_generator_512(results)),
     ]:
         if not want(name):
             continue
@@ -195,8 +323,15 @@ def main() -> None:
             results.append(row)
             print(json.dumps(row))
 
+    # A partial (--only) run updates its metrics in place, preserving the
+    # rest of an existing BENCH_TRAIN.json.
+    merged = []
+    if only is not None and os.path.exists("BENCH_TRAIN.json"):
+        with open("BENCH_TRAIN.json") as fp:
+            new_names = {r.get("metric") for r in results}
+            merged = [r for r in json.load(fp) if r.get("metric") not in new_names]
     with open("BENCH_TRAIN.json", "w") as fp:
-        json.dump(results, fp, indent=2)
+        json.dump(merged + results, fp, indent=2)
 
 
 if __name__ == "__main__":

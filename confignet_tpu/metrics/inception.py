@@ -23,6 +23,8 @@ from confignet_tpu.models.backbones.inception import InceptionV3, inception_prep
 class InceptionFeatureExtractor:
     """2048-dim pooled InceptionV3 features, chunked."""
 
+    feature_dim = 2048
+
     def __init__(self, input_shape, dtype: Optional[jnp.dtype] = jnp.bfloat16):
         self.input_shape = tuple(input_shape)
         self.module = InceptionV3(dtype=dtype)
@@ -121,8 +123,17 @@ class InceptionMetrics:
             confignet_config["output_shape"]
         )
         idx = np.random.randint(0, dataset.imgs.shape[0], n_samples_for_metrics)
-        if getattr(dataset, "inception_features", None) is not None:
-            self.gt_inception_features = np.asarray(dataset.inception_features)[idx]
+        cached = getattr(dataset, "inception_features", None)
+        feature_dim = self.inception_feature_extractor.feature_dim
+        if cached is not None and np.asarray(cached).shape[-1] != feature_dim:
+            print(
+                "WARNING: dataset inception features have dim "
+                f"{np.asarray(cached).shape[-1]} but the live extractor yields "
+                f"{feature_dim}; recomputing ground-truth features"
+            )
+            cached = None
+        if cached is not None:
+            self.gt_inception_features = np.asarray(cached)[idx]
         else:
             self.gt_inception_features = self.inception_feature_extractor.get_features(
                 dataset.imgs[idx]

@@ -626,14 +626,34 @@ class ConfigNetFirstStage:
         # The hot path issues NO blocking device->host fetch: losses are
         # buffered on device and flushed on a cadence / at checkpoint
         # boundaries (VERDICT r1: per-step device_get serialized the loop).
+        # Batch sampling + host->device staging runs on a background thread
+        # (data/prefetch.py) so the host indexing and the uint8 upload
+        # overlap the device step instead of serializing with it.
+        from confignet_tpu.data.prefetch import BatchPrefetcher
+
         flusher = LossFlusher(self.config.get("loss_print_period", 50))
         image_p = self.config["image_checkpoint_period"]
         metrics_p = self.config["metrics_checkpoint_period"]
         window_start = time.perf_counter()
         window_len = 0
 
+        prefetcher = BatchPrefetcher(
+            lambda: self._sample_host_batch(real_training_set, synth_training_set),
+            depth=self.config.get("prefetch_depth", 2),
+            device_put=self.mesh is None,  # shard_batch already placed mesh batches
+        )
+        try:
+            self._train_loop(prefetcher, flusher, start_step, n_steps, vgg_params,
+                             image_p, metrics_p, window_start, window_len,
+                             output_dir, log_dir)
+        finally:
+            prefetcher.close()
+
+    def _train_loop(self, prefetcher, flusher, start_step, n_steps, vgg_params,
+                    image_p, metrics_p, window_start, window_len,
+                    output_dir, log_dir) -> None:
         for step in range(start_step, n_steps):
-            batch = self._sample_host_batch(real_training_set, synth_training_set)
+            batch = prefetcher.next()
             key = self.keychain.next()
             self.state, losses = self._train_step_fn(self.state, key, batch, vgg_params)
             window_len += 1

@@ -383,15 +383,39 @@ class ConfigNet(ConfigNetFirstStage):
 
         from confignet_tpu.core.logging_utils import LossFlusher, update_loss_dict
 
-        # No per-step device->host sync on the hot path (see first_stage).
+        # No per-step device->host sync on the hot path, and batch sampling
+        # + host->device staging overlap the device step via a background
+        # prefetch thread (see first_stage / data/prefetch.py).
+        from confignet_tpu.data.prefetch import BatchPrefetcher
+
         flusher = LossFlusher(self.config.get("loss_print_period", 50))
         image_p = self.config["image_checkpoint_period"]
         metrics_p = self.config["metrics_checkpoint_period"]
         window_start = time.perf_counter()
         window_len = 0
 
+        prefetcher = BatchPrefetcher(
+            lambda: self._sample_host_batch(real_training_set, synth_training_set),
+            depth=self.config.get("prefetch_depth", 2),
+            device_put=self.mesh is None,
+        )
+        try:
+            self._stage2_train_loop(
+                prefetcher, flusher, start_step, n_steps, vgg_params,
+                vggface_params, image_p, metrics_p, window_start, window_len,
+                output_dir)
+        finally:
+            prefetcher.close()
+
+    def _stage2_train_loop(self, prefetcher, flusher, start_step, n_steps,
+                           vgg_params, vggface_params, image_p, metrics_p,
+                           window_start, window_len, output_dir) -> None:
+        import time
+
+        from confignet_tpu.core.logging_utils import update_loss_dict
+
         for step in range(start_step, n_steps):
-            batch = self._sample_host_batch(real_training_set, synth_training_set)
+            batch = prefetcher.next()
             key = self.keychain.next()
             self.state, losses = self._train_step_fn(
                 self.state, key, batch, vgg_params, vggface_params

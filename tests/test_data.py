@@ -230,3 +230,35 @@ def test_synthetic_dataset_metadata_processing(tmp_path):
     assert loaded.metadata_inputs["rotations"].shape == (2, 3)
     s, _ = loaded.metadata_input_distributions["head_hair_style"].sample(2)
     assert s.shape[1] == n_styles
+
+
+def test_batch_prefetcher_order_and_close():
+    """BatchPrefetcher yields sampled batches in order, stages them as jax
+    arrays, propagates sampler errors, and shuts down cleanly."""
+    import jax
+    import numpy as np
+
+    from confignet_tpu.data.prefetch import BatchPrefetcher
+
+    counter = {"n": 0}
+
+    def sample():
+        i = counter["n"]
+        counter["n"] += 1
+        return {"idx": np.full((2,), i, np.int32), "imgs": np.zeros((2, 4, 4, 3), np.uint8)}
+
+    with BatchPrefetcher(sample, depth=2) as pf:
+        for expect in range(5):
+            batch = pf.next()
+            assert isinstance(batch["idx"], jax.Array)
+            assert int(batch["idx"][0]) == expect
+
+    def bad_sample():
+        raise ValueError("boom")
+
+    pf = BatchPrefetcher(bad_sample)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="boom"):
+        pf.next()
+    pf.close()

@@ -99,3 +99,22 @@ def test_turntable_cli(tmp_path):
     assert embeddings.shape == (12, 5)
     # rotations produce varying embeddings
     assert embeddings.std(axis=0).mean() > 1e-3
+
+
+def test_shipped_hdri_model_asset():
+    """assets/hdri_model.pck loads and embeds to the 50-dim hdri_embedding
+    schema (the reference's own asset is a missing large blob; ours is
+    regenerated — see setup/generate_hdri_model_asset.py)."""
+    from confignet_tpu.hdri.pca import HDRIModelPCA
+
+    path = os.path.join(os.path.dirname(__file__), "..", "assets", "hdri_model.pck")
+    model = HDRIModelPCA.load(path)
+    assert model.pca_model.components_.shape[0] == 50
+
+    rng = np.random.default_rng(3)
+    hdris = rng.uniform(0, 4, size=(2, 64, 128, 3)).astype(np.float32)
+    emb = model.transform(hdris)
+    assert emb.shape == (2, 50)
+    rec = model.inverse_transform(emb)
+    assert rec.shape == (2, 64, 128, 3)
+    assert np.all(np.isfinite(rec))

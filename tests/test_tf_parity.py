@@ -412,3 +412,158 @@ def test_reference_checkpoint_import_end_to_end(tmp_path):
     out_jax = _to_np(model.generator_module_ft.apply(
         {"params": model.state.generator_smoothed}, jnp.asarray(z), jnp.asarray(rot)))
     np.testing.assert_allclose(out_jax, out_tf, atol=5e-4)
+
+
+# ---------------------------------------------------------------------------
+# Loss functions vs the reference TF implementations (losses.py)
+# ---------------------------------------------------------------------------
+
+def test_elementwise_losses_parity():
+    """gan_g_loss / gan_d_loss / eye_loss vs reference losses.py:7-18."""
+    ref_losses = load_ref_module("losses")
+    from confignet_tpu.losses import gan as our
+
+    rng = np.random.default_rng(21)
+    scores = rng.normal(size=(8, 1)).astype(np.float32) * 3.0
+    labels = rng.integers(0, 2, size=(8, 1)).astype(np.float32)
+
+    np.testing.assert_allclose(
+        float(our.gan_g_loss(jnp.asarray(scores))),
+        float(ref_losses.GAN_G_loss(tf.constant(scores)).numpy()), rtol=1e-6)
+    np.testing.assert_allclose(
+        float(our.gan_d_loss(jnp.asarray(labels), jnp.asarray(scores))),
+        float(ref_losses.GAN_D_loss(tf.constant(labels), tf.constant(scores)).numpy()),
+        rtol=1e-6)
+
+    gt = rng.uniform(-1, 1, size=(4, 16, 16, 3)).astype(np.float32)
+    gen = rng.uniform(-1, 1, size=(4, 16, 16, 3)).astype(np.float32)
+    masks = (rng.uniform(size=(4, 16, 16)) > 0.7).astype(np.float32)
+    np.testing.assert_allclose(
+        float(our.eye_loss(jnp.asarray(gt), jnp.asarray(gen), jnp.asarray(masks))),
+        float(ref_losses.eye_loss(tf.constant(gt), tf.constant(gen), masks).numpy()),
+        rtol=1e-5)
+
+
+def _linear_multihead_weights(rng, in_dim, n_heads):
+    return [rng.normal(size=(in_dim, 1)).astype(np.float32) * 0.3
+            for _ in range(n_heads)], [rng.normal(size=(1,)).astype(np.float32)
+                                       for _ in range(n_heads)]
+
+
+def test_discriminator_loss_parity():
+    """compute_discriminator_loss incl. per-head R1 grad-of-input penalties
+    vs reference losses.py:20-47, using an analytically-identical linear
+    multi-head discriminator on both sides."""
+    import collections
+
+    ref_losses = load_ref_module("losses")
+    from confignet_tpu.losses import gan as our
+
+    rng = np.random.default_rng(22)
+    shape = (4, 8, 8, 3)
+    in_dim = int(np.prod(shape[1:]))
+    n_heads = 3
+    kernels, biases = _linear_multihead_weights(rng, in_dim, n_heads)
+    real = rng.uniform(-1, 1, size=shape).astype(np.float32)
+    fake = rng.uniform(-1, 1, size=shape).astype(np.float32)
+
+    class TfDisc:
+        def __call__(self, x):
+            flat = tf.reshape(x, (x.shape[0], -1))
+            out = collections.OrderedDict()
+            for i, (k, b) in enumerate(zip(kernels, biases)):
+                out[f"head_{i}"] = tf.matmul(flat, k) + b
+            return out
+
+    losses_tf = ref_losses.compute_discriminator_loss(
+        TfDisc(), tf.constant(real), tf.constant(fake))
+
+    def jax_disc(x):
+        flat = jnp.reshape(x, (x.shape[0], -1))
+        return {f"head_{i}": flat @ jnp.asarray(k) + jnp.asarray(b)
+                for i, (k, b) in enumerate(zip(kernels, biases))}
+
+    losses_jax = our.compute_discriminator_loss(
+        jax_disc, jnp.asarray(real), jnp.asarray(fake))
+
+    for key, val in losses_tf.items():
+        np.testing.assert_allclose(
+            float(losses_jax[key]), float(val.numpy()), rtol=1e-5,
+            err_msg=f"discriminator loss head {key}")
+
+
+def test_latent_discriminator_loss_parity():
+    """compute_latent_discriminator_loss vs reference losses.py:49-73."""
+    ref_losses = load_ref_module("losses")
+    from confignet_tpu.losses import gan as our
+
+    rng = np.random.default_rng(23)
+    k = rng.normal(size=(12, 1)).astype(np.float32) * 0.5
+    b = rng.normal(size=(1,)).astype(np.float32)
+    real = rng.normal(size=(6, 12)).astype(np.float32)
+    fake = rng.normal(size=(6, 12)).astype(np.float32)
+
+    losses_tf = ref_losses.compute_latent_discriminator_loss(
+        lambda x: tf.matmul(x, k) + b, tf.constant(real), tf.constant(fake))
+    losses_jax = our.compute_latent_discriminator_loss(
+        lambda x: x @ jnp.asarray(k) + jnp.asarray(b),
+        jnp.asarray(real), jnp.asarray(fake))
+
+    for key, val in losses_tf.items():
+        np.testing.assert_allclose(
+            float(losses_jax[key]), float(val.numpy()), rtol=1e-5,
+            err_msg=f"latent discriminator loss {key}")
+
+
+def test_latent_regression_losses_parity():
+    """Plain MSE regression loss (losses.py:85-90) and the stage-2
+    variance-normalized variant (confignet_second_stage.py:93-107)."""
+    ref_losses = load_ref_module("losses")
+    from confignet_tpu.losses import gan as our
+
+    rng = np.random.default_rng(24)
+    preds = rng.normal(size=(8, 19)).astype(np.float32)
+    labels = rng.normal(size=(8, 19)).astype(np.float32) * 2.0
+
+    loss_tf = ref_losses.compute_latent_regression_loss(
+        tf.constant(preds), tf.constant(labels), lambda x: x)
+    np.testing.assert_allclose(
+        float(our.latent_regression_loss(jnp.asarray(preds), jnp.asarray(labels))),
+        float(loss_tf.numpy()), rtol=1e-5)
+
+    # Normalized variant: replicate the reference's inline math in TF.
+    weight = 1.7
+    denominator = tf.sqrt(tf.math.reduce_variance(tf.constant(labels), axis=0,
+                                                  keepdims=True) + 1e-3)
+    denominator = tf.concat((denominator[:, :-3], tf.ones((1, 3), tf.float32)), axis=1)
+    p = tf.constant(preds)
+    l = tf.constant(labels)
+    p = tf.reduce_mean(p, axis=0) + (p - tf.reduce_mean(p, axis=0)) / denominator
+    l = tf.reduce_mean(l, axis=0) + (l - tf.reduce_mean(l, axis=0)) / denominator
+    ref_val = float(tf.reduce_mean(tf.losses.mean_squared_error(l, p)).numpy()) * weight
+
+    ours_val = float(our.normalized_latent_regression_loss(
+        jnp.asarray(preds), jnp.asarray(labels), weight))
+    np.testing.assert_allclose(ours_val, ref_val, rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# FID / KID vs the reference numpy/scipy implementations
+# ---------------------------------------------------------------------------
+
+def test_fid_kid_parity():
+    """compute_FID (scipy sqrtm there, eigh trace-of-sqrt here) and
+    compute_KID vs reference metrics/inception_distance.py:29-59."""
+    ref_id = load_ref_module("metrics.inception_distance")
+    from confignet_tpu.metrics.inception import compute_FID, compute_KID
+
+    rng = np.random.default_rng(25)
+    feats_g = rng.normal(size=(96, 24)).astype(np.float64)
+    feats_r = rng.normal(loc=0.3, size=(80, 24)).astype(np.float64)
+
+    np.testing.assert_allclose(
+        compute_FID(feats_g, feats_r), ref_id.compute_FID(feats_g, feats_r),
+        rtol=1e-6)
+    np.testing.assert_allclose(
+        compute_KID(feats_g, feats_r), ref_id.compute_KID(feats_g, feats_r),
+        rtol=1e-8)
