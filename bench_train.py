@@ -293,12 +293,21 @@ def main() -> None:
                              "reference value); throughput probes use 96/192")
     parser.add_argument("--r1_heads", default=None, choices=["all", "final"],
                         help="override R1 penalty head selection")
+    parser.add_argument("--set", action="append", default=[],
+                        help="config override key=value (value parsed as "
+                             "JSON, falling back to string); repeatable")
     args = parser.parse_args()
     only = set(args.only.split(",")) if args.only else None
     if args.batch_size is not None:
         BENCH_CONFIG["batch_size"] = args.batch_size
     if args.r1_heads is not None:
         BENCH_CONFIG["r1_heads"] = args.r1_heads
+    for override in args.set:
+        key, _, raw = override.partition("=")
+        try:
+            BENCH_CONFIG[key] = json.loads(raw)
+        except json.JSONDecodeError:
+            BENCH_CONFIG[key] = raw
 
     results = []
 

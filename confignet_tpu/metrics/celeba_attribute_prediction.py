@@ -85,6 +85,23 @@ class CelebaAttributeClassifier:
         self.tx = optax.adam(self.config["optimizer"].get("lr", 1e-3), eps=1e-7)
         self.opt_state = self.tx.init(self.variables["params"])
 
+    def load_backbone_keras_weights(self, h5_path: str) -> None:
+        """Import the standard Keras MobileNetV2 ``.h5`` (ImageNet, notop)
+        into the backbone by creation order (the reference starts from the
+        ImageNet-pretrained trunk, celeba_attribute_prediction.py:56)."""
+        from confignet_tpu.models.backbones.loader import load_keras_h5_ordered
+        from confignet_tpu.models.backbones.mobilenet import mobilenet_conv_bn_order
+
+        conv_paths, bn_paths = mobilenet_conv_bn_order()
+        params = dict(self.variables["params"])
+        params["mobilenet"] = load_keras_h5_ordered(
+            dict(params["mobilenet"]), h5_path,
+            conv_paths=conv_paths, bn_paths=bn_paths,
+        )
+        self.variables = {**self.variables, "params": params}
+        self.opt_state = self.tx.init(self.variables["params"])
+        self._predict_fn = None
+
     # ------------------------------------------------------------------
 
     def _build_train_step(self):

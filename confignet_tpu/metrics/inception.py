@@ -37,10 +37,19 @@ class InceptionFeatureExtractor:
         )
 
     def load_keras_weights(self, h5_path: str) -> None:
-        from confignet_tpu.models.backbones.loader import load_keras_h5_weights
+        """Import the standard Keras InceptionV3 ``.h5`` (ImageNet, notop) by
+        creation order — keras.applications' global-counter layer names
+        ("conv2d_42") cannot be matched by name."""
+        from confignet_tpu.models.backbones.inception import inception_conv_bn_order
+        from confignet_tpu.models.backbones.loader import load_keras_h5_ordered
 
+        names = inception_conv_bn_order()
         self.variables = {
-            "params": load_keras_h5_weights(dict(self.variables["params"]), h5_path)
+            "params": load_keras_h5_ordered(
+                dict(self.variables["params"]), h5_path,
+                conv_paths=[f"{n}/conv" for n in names],
+                bn_paths=[f"{n}/bn" for n in names],
+            )
         }
 
     def get_features(self, images: np.ndarray, max_chunk_size: int = 256) -> np.ndarray:

@@ -101,3 +101,27 @@ def mobilenet_preprocess(images_0_255: jax.Array) -> jax.Array:
     """Keras 'tf' mode: [0,255] -> [-1,1]
     (reference: celeba_attribute_prediction.py:103,139)."""
     return images_0_255.astype(jnp.float32) / 127.5 - 1.0
+
+
+def mobilenet_conv_bn_order():
+    """Conv/BN module paths in Keras MobileNetV2 creation order (stem, then
+    expand/depthwise/project per inverted-residual block — block 0 has no
+    expand — then the 1280 head conv) for the ordered h5 loader.  Returns
+    (conv_paths, bn_paths)."""
+    conv_paths, bn_paths = ["stem"], ["stem_bn"]
+    block_names = []
+    for stage_idx, (expansion, _, repeats, _) in enumerate(_STAGES):
+        for block_idx in range(repeats):
+            block_names.append((f"stage{stage_idx}_block{block_idx}", expansion))
+    for name, expansion in block_names:
+        if expansion != 1:
+            conv_paths.append(f"{name}/expand")
+            bn_paths.append(f"{name}/expand_bn")
+        conv_paths.append(f"{name}/depthwise")
+        bn_paths.append(f"{name}/depthwise_bn")
+        conv_paths.append(f"{name}/project")
+        bn_paths.append(f"{name}/project_bn")
+    conv_paths.append("head")
+    bn_paths.append("head_bn")
+    assert len(conv_paths) == 52 and len(bn_paths) == 52
+    return conv_paths, bn_paths

@@ -567,3 +567,67 @@ def test_fid_kid_parity():
     np.testing.assert_allclose(
         compute_KID(feats_g, feats_r), ref_id.compute_KID(feats_g, feats_r),
         rtol=1e-8)
+
+
+# ---------------------------------------------------------------------------
+# FID / classifier backbones through the ordered h5 loader
+# ---------------------------------------------------------------------------
+
+@pytest.mark.slow
+def test_inception_v3_h5_parity(tmp_path):
+    """Our InceptionV3 (FID/KID feature extractor) vs tf.keras
+    InceptionV3(include_top=False, pooling='avg') with weights transferred
+    via the creation-order h5 loader (reference: metrics/inception_distance.py:9-27)."""
+    keras = tf.keras
+    tf_model = keras.applications.inception_v3.InceptionV3(
+        weights=None, include_top=False, pooling="avg", input_shape=(128, 128, 3))
+    randomize_tf_weights(tf_model, seed=31)
+    h5_path = str(tmp_path / "inception.h5")
+    tf_model.save_weights(h5_path)
+
+    rng = np.random.default_rng(32)
+    x = rng.uniform(-1, 1, size=(2, 128, 128, 3)).astype(np.float32)
+    feats_tf = tf_model(tf.constant(x)).numpy()
+
+    from confignet_tpu.metrics.inception import InceptionFeatureExtractor
+
+    extractor = InceptionFeatureExtractor((128, 128, 3), dtype=None)
+    extractor.load_keras_weights(h5_path)
+    feats_jax = np.asarray(extractor._fn(extractor.variables["params"], jnp.asarray(x)))
+
+    assert feats_jax.shape == feats_tf.shape == (2, 2048)
+    # 94 conv/BN layers of f32 accumulation (and oneDNN reassociation on the
+    # TF side) leave a few-1e-3 absolute wobble on near-zero features.
+    np.testing.assert_allclose(feats_jax, feats_tf, atol=6e-3, rtol=2e-3)
+
+
+@pytest.mark.slow
+def test_mobilenet_v2_h5_parity(tmp_path):
+    """Our MobileNetV2 (attribute-classifier trunk) vs tf.keras
+    MobileNetV2(include_top=False) with creation-order h5 transfer
+    (reference: metrics/celeba_attribute_prediction.py:56)."""
+    keras = tf.keras
+    tf_model = keras.applications.mobilenet_v2.MobileNetV2(
+        weights=None, include_top=False, input_shape=(96, 96, 3))
+    randomize_tf_weights(tf_model, seed=33)
+    h5_path = str(tmp_path / "mobilenet.h5")
+    tf_model.save_weights(h5_path)
+
+    rng = np.random.default_rng(34)
+    x = rng.uniform(-1, 1, size=(2, 96, 96, 3)).astype(np.float32)
+    feats_tf = tf_model(tf.constant(x)).numpy()
+
+    from confignet_tpu.models.backbones.loader import load_keras_h5_ordered
+    from confignet_tpu.models.backbones.mobilenet import (
+        MobileNetV2,
+        mobilenet_conv_bn_order,
+    )
+
+    module = MobileNetV2()
+    params = module.init(jax.random.PRNGKey(0), jnp.asarray(x))["params"]
+    conv_paths, bn_paths = mobilenet_conv_bn_order()
+    params = load_keras_h5_ordered(dict(params), h5_path, conv_paths, bn_paths)
+    feats_jax = np.asarray(module.apply({"params": params}, jnp.asarray(x)))
+
+    assert feats_jax.shape == feats_tf.shape
+    np.testing.assert_allclose(feats_jax, feats_tf, atol=2e-3, rtol=1e-3)
