@@ -20,6 +20,9 @@ def parse_args(args):
     parser.add_argument("--n_epochs", type=int, default=1000)
     parser.add_argument("--steps_per_epoch", type=int, default=100)
     parser.add_argument("--batch_size", type=int, default=32)
+    parser.add_argument("--backbones_dir", default=None,
+                        help="Directory with mobilenet_v2_notop.h5 to start "
+                             "from the ImageNet trunk (reference behavior)")
     parser.add_argument("--ignored_attributes", nargs="+",
                         default=["Wearing_Necklace", "Wearing_Necktie"])
     args = parser.parse_args(args)
@@ -36,6 +39,8 @@ def parse_args(args):
     config = dict(DEFAULT_CONFIG)
     config["input_shape"] = tuple(training_set.imgs.shape[1:])
     config["batch_size"] = args.batch_size
+    if args.backbones_dir is not None:
+        config["backbones_dir"] = args.backbones_dir
     predicted = [
         a for a in training_set.attributes[0].keys() if a not in args.ignored_attributes
     ]

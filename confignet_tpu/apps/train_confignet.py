@@ -45,6 +45,11 @@ def parse_args(args):
     parser.add_argument("--profile_dir", default=None,
                         help="Capture a jax.profiler trace of training into "
                              "this directory (view with TensorBoard/Perfetto)")
+    parser.add_argument("--backbones_dir", default=None,
+                        help="Directory of standard Keras notop .h5 backbone "
+                             "weights (see setup/download_models.py); files "
+                             "present are loaded into the perceptual losses, "
+                             "encoder trunk and FID extractor")
     parser.add_argument("--resume", action="store_true", default=False,
                         help="Scan output_dir (and $PT_PREV_OUTPUT_DIR) for the "
                              "newest checkpoint and continue from it")
@@ -86,6 +91,8 @@ def parse_args(args):
         config["batch_size"] = args.batch_size
     if args.compute_dtype is not None:
         config["compute_dtype"] = args.compute_dtype
+    if args.backbones_dir is not None:
+        config["backbones_dir"] = args.backbones_dir
     facemodel_override = config.get("facemodel_inputs")
     config = merge_configs(DEFAULT_CONFIG, config)
     if facemodel_override is not None:

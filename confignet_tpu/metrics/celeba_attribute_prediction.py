@@ -84,6 +84,10 @@ class CelebaAttributeClassifier:
         )
         self.tx = optax.adam(self.config["optimizer"].get("lr", 1e-3), eps=1e-7)
         self.opt_state = self.tx.init(self.variables["params"])
+        from confignet_tpu.core.pretrained import maybe_load
+
+        maybe_load(self.load_backbone_keras_weights,
+                   self.config.get("backbones_dir"), "mobilenet_v2")
 
     def load_backbone_keras_weights(self, h5_path: str) -> None:
         """Import the standard Keras MobileNetV2 ``.h5`` (ImageNet, notop)

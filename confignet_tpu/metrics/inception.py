@@ -131,6 +131,10 @@ class InceptionMetrics:
         self.inception_feature_extractor = InceptionFeatureExtractor(
             confignet_config["output_shape"]
         )
+        from confignet_tpu.core.pretrained import maybe_load
+
+        maybe_load(self.inception_feature_extractor.load_keras_weights,
+                   confignet_config.get("backbones_dir"), "inception_v3")
         idx = np.random.randint(0, dataset.imgs.shape[0], n_samples_for_metrics)
         cached = getattr(dataset, "inception_features", None)
         feature_dim = self.inception_feature_extractor.feature_dim

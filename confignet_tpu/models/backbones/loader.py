@@ -159,3 +159,44 @@ def load_keras_h5_ordered(params: Dict[str, Any], h5_path: str,
             f"h5 transferred {conv_seen}/{len(conv_paths)} convs and "
             f"{bn_seen}/{len(bn_paths)} BNs — architecture mismatch")
     return new_params
+
+
+def load_keras_h5_mapped(params: Dict[str, Any], h5_path: str,
+                         name_map: Dict[str, Any]) -> Dict[str, Any]:
+    """Transfer weights using an explicit {keras layer name: (our path,
+    "conv"|"bn")} map (for models with stable semantic Keras names, e.g.
+    ResNet50).  Raises if fewer than half the mapped layers are found —
+    a sign of the wrong file generation."""
+    import h5py
+    import numpy as np
+    import jax.numpy as jnp
+
+    new_params = dict(params)
+    found = 0
+    with h5py.File(h5_path, "r") as f:
+        root = f["model_weights"] if "model_weights" in f else f
+        for layer_name in root.keys():
+            if layer_name not in name_map:
+                continue
+            path, kind = name_map[layer_name]
+            group = root[layer_name]
+            weight_names = [
+                n.decode() if isinstance(n, bytes) else n
+                for n in group.attrs.get("weight_names", [])
+            ]
+            arrays = {wn.split("/")[-1].split(":")[0]: np.asarray(group[wn])
+                      for wn in weight_names}
+            if kind == "conv":
+                updates = {"kernel": jnp.asarray(arrays["kernel"])}
+                if "bias" in arrays:
+                    updates["bias"] = jnp.asarray(arrays["bias"])
+            else:
+                updates = {k: jnp.asarray(arrays[k])
+                           for k in ("gamma", "beta", "moving_mean", "moving_variance")
+                           if k in arrays}
+            _set_path(new_params, path, updates)
+            found += 1
+    if found < len(name_map) // 2:
+        raise ValueError(
+            f"only {found}/{len(name_map)} mapped layers found in {h5_path}")
+    return new_params

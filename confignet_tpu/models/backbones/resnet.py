@@ -124,3 +124,51 @@ def resnet50_preprocess(images_unit_range: jax.Array) -> jax.Array:
     x = x[..., ::-1]
     mean = jnp.asarray([103.939, 116.779, 123.68], dtype=x.dtype)
     return x - mean
+
+
+def resnet50_keras_name_map(legacy: bool = False):
+    """keras layer name -> (our module path, "conv"|"bn").
+
+    Two generations of Keras ResNet50 naming exist: the current
+    ``conv2_block1_1_conv`` scheme (keras.applications.resnet, 2.2.4+) and
+    the legacy ``res2a_branch2a`` / ``bn2a_branch2a`` scheme of the original
+    resnet50 module.  Both describe the identical graph, so both map onto
+    our ``stage{s}_block{b}`` modules.
+    """
+    mapping = {}
+    if legacy:
+        mapping["conv1"] = ("stem_conv", "conv")
+        mapping["bn_conv1"] = ("stem_bn", "bn")
+    else:
+        mapping["conv1_conv"] = ("stem_conv", "conv")
+        mapping["conv1_bn"] = ("stem_bn", "bn")
+
+    for stage, n_blocks in enumerate((3, 4, 6, 3)):
+        for block in range(1, n_blocks + 1):
+            ours = f"stage{stage + 1}_block{block}"
+            if legacy:
+                letter = chr(ord("a") + block - 1)
+                base = f"{stage + 2}{letter}"
+                branches = [("branch1", "shortcut"), ("branch2a", "1"),
+                            ("branch2b", "2"), ("branch2c", "3")]
+                for branch, which in branches:
+                    if which == "shortcut" and block != 1:
+                        continue
+                    conv_path = (f"{ours}/shortcut_conv" if which == "shortcut"
+                                 else f"{ours}/conv{which}")
+                    bn_path = (f"{ours}/shortcut_bn" if which == "shortcut"
+                               else f"{ours}/bn{which}")
+                    mapping[f"res{base}_{branch}"] = (conv_path, "conv")
+                    mapping[f"bn{base}_{branch}"] = (bn_path, "bn")
+            else:
+                base = f"conv{stage + 2}_block{block}"
+                for idx, which in ((0, "shortcut"), (1, "1"), (2, "2"), (3, "3")):
+                    if which == "shortcut" and block != 1:
+                        continue
+                    conv_path = (f"{ours}/shortcut_conv" if which == "shortcut"
+                                 else f"{ours}/conv{which}")
+                    bn_path = (f"{ours}/shortcut_bn" if which == "shortcut"
+                               else f"{ours}/bn{which}")
+                    mapping[f"{base}_{idx}_conv"] = (conv_path, "conv")
+                    mapping[f"{base}_{idx}_bn"] = (bn_path, "bn")
+    return mapping

@@ -114,6 +114,7 @@ DEFAULT_CONFIG: Dict[str, Any] = {
     "compute_dtype": "float32",  # "bfloat16" for max throughput
     "perceptual_taps": None,     # override VGG taps (tests use shallow taps)
     "rotation_resample": "auto",  # inference resample impl (pallas on TPU)
+    "backbones_dir": None,  # dir of Keras notop .h5 files (see core/pretrained.py)
     "r1_heads": "all",  # "final" = single-head R1, ~5x fewer D backward passes
     "loss_print_period": 50,  # steps between device->host loss flushes
     "seed": 0,
@@ -176,6 +177,10 @@ class ConfigNetFirstStage:
             model_type="imagenet",
             taps=self.config.get("perceptual_taps"),
         )
+        from confignet_tpu.core.pretrained import maybe_load
+
+        maybe_load(self.perceptual_loss.load_keras_weights,
+                   self.config.get("backbones_dir"), "vgg19")
 
         self.state: Optional[FirstStageState] = None
         if initialize:

@@ -55,6 +55,10 @@ class ConfigNet(ConfigNetFirstStage):
             model_type="VGGFace",
             taps=self.config.get("perceptual_taps"),
         )
+        from confignet_tpu.core.pretrained import maybe_load
+
+        maybe_load(self.perceptual_loss_face_reco.load_keras_weights,
+                   self.config.get("backbones_dir"), "vggface")
         self._encode_fn = None
         self._fine_tune_fns: Dict[bool, Any] = {}
 
@@ -69,6 +73,25 @@ class ConfigNet(ConfigNetFirstStage):
         )
         img1 = jnp.zeros((1, *self.config["output_shape"]), jnp.float32)
         enc_params = jax.jit(self.encoder_module.init)(self.keychain.next(), img1)["params"]
+
+        # ImageNet ResNet50 trunk when available (the reference encoder
+        # starts from pretrained ResNet50, real_encoder.py:13).
+        from confignet_tpu.core.pretrained import backbone_path
+
+        resnet_h5 = backbone_path(self.config.get("backbones_dir"), "resnet50")
+        if resnet_h5 is not None:
+            from confignet_tpu.models.backbones.loader import load_keras_h5_mapped
+            from confignet_tpu.models.backbones.resnet import resnet50_keras_name_map
+
+            enc_params = dict(enc_params)
+            try:
+                enc_params["resnet"] = load_keras_h5_mapped(
+                    dict(enc_params["resnet"]), resnet_h5, resnet50_keras_name_map())
+            except ValueError:
+                enc_params["resnet"] = load_keras_h5_mapped(
+                    dict(enc_params["resnet"]), resnet_h5,
+                    resnet50_keras_name_map(legacy=True))
+            print(f"Loaded pretrained resnet50 encoder trunk from {resnet_h5}")
 
         # The encoder joins the generator player so the G step optimizes it
         # jointly (reference: confignet_second_stage.py:213-214).

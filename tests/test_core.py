@@ -111,3 +111,21 @@ def test_rotate_3d_grid_under_jit(rng):
     # (identical interpolation logic is pinned by the float64 oracle test).
     mismatch = np.abs(out - oracle) > 1e-4
     assert mismatch.mean() < 0.01
+
+
+def test_pretrained_backbone_discovery(tmp_path, capsys):
+    """core/pretrained.py: files present are applied, missing ones skipped."""
+    from confignet_tpu.core.pretrained import backbone_path, maybe_load
+
+    assert backbone_path(None, "vgg19") is None
+    assert backbone_path(str(tmp_path), "vgg19") is None
+
+    target = tmp_path / "vgg19_notop.h5"
+    target.write_bytes(b"")
+    assert backbone_path(str(tmp_path), "vgg19") == str(target)
+
+    seen = []
+    assert maybe_load(seen.append, str(tmp_path), "vgg19") is True
+    assert seen == [str(target)]
+    assert maybe_load(seen.append, str(tmp_path), "inception_v3") is False
+    assert len(seen) == 1

@@ -133,3 +133,18 @@ def test_multidevice_mesh_step(dataset, tmp_path):
     batch = model._sample_host_batch(dataset, dataset)
     model.state, losses = step_fn(model.state, model.keychain.next(), batch, vgg, vggface)
     assert np.isfinite(float(losses["g"]["loss_sum"]))
+
+
+@pytest.mark.slow
+def test_fine_tune_and_generate_512():
+    """One-shot fine-tune + generation at the 512px model size (the
+    reference ships and tests 256 and 512; reference
+    tests/inference_test.py parametrizes both)."""
+    cfg = dict(TINY_FIRST_STAGE_CONFIG, output_shape=(512, 512, 3))
+    model = ConfigNet(cfg)
+    img = np.random.default_rng(5).integers(0, 256, (512, 512, 3), dtype=np.uint8)
+    embeddings, rotations = model.fine_tune_on_img(img, n_iters=1)
+    assert embeddings.shape == (1, model.config["latent_dim"])
+    imgs = model.generate_images(embeddings, rotations)
+    assert imgs.shape == (1, 512, 512, 3)
+    assert imgs.dtype == np.uint8

@@ -631,3 +631,38 @@ def test_mobilenet_v2_h5_parity(tmp_path):
 
     assert feats_jax.shape == feats_tf.shape
     np.testing.assert_allclose(feats_jax, feats_tf, atol=2e-3, rtol=1e-3)
+
+
+@pytest.mark.slow
+def test_resnet50_h5_parity(tmp_path):
+    """Our ResNet50 (encoder trunk) vs tf.keras ResNet50(include_top=False,
+    pooling='avg') with weights transferred via the semantic name map
+    (reference: real_encoder.py:13)."""
+    keras = tf.keras
+    tf_model = keras.applications.resnet50.ResNet50(
+        weights=None, include_top=False, pooling="avg", input_shape=(128, 128, 3))
+    randomize_tf_weights(tf_model, seed=35)
+    h5_path = str(tmp_path / "resnet50.h5")
+    tf_model.save_weights(h5_path)
+
+    rng = np.random.default_rng(36)
+    x = rng.uniform(-120, 130, size=(2, 128, 128, 3)).astype(np.float32)
+    feats_tf = tf_model(tf.constant(x)).numpy()
+
+    from confignet_tpu.models.backbones.loader import load_keras_h5_mapped
+    from confignet_tpu.models.backbones.resnet import (
+        ResNet50,
+        resnet50_keras_name_map,
+    )
+
+    module = ResNet50()
+    params = module.init(jax.random.PRNGKey(0), jnp.asarray(x))["params"]
+    try:
+        params = load_keras_h5_mapped(dict(params), h5_path, resnet50_keras_name_map())
+    except ValueError:
+        params = load_keras_h5_mapped(
+            dict(params), h5_path, resnet50_keras_name_map(legacy=True))
+    feats_jax = np.asarray(module.apply({"params": params}, jnp.asarray(x)))
+
+    assert feats_jax.shape == feats_tf.shape == (2, 2048)
+    np.testing.assert_allclose(feats_jax, feats_tf, atol=5e-3, rtol=2e-3)
