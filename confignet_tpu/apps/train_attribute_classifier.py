@@ -5,7 +5,10 @@ from __future__ import annotations
 import argparse
 import sys
 
-from confignet_tpu.core.profiling import maybe_trace
+from confignet_tpu.core.profiling import (
+    enable_persistent_compilation_cache,
+    maybe_trace,
+)
 
 import numpy as np
 
@@ -26,6 +29,7 @@ def parse_args(args):
     parser.add_argument("--ignored_attributes", nargs="+",
                         default=["Wearing_Necklace", "Wearing_Necktie"])
     args = parser.parse_args(args)
+    enable_persistent_compilation_cache()
 
     from confignet_tpu.data.dataset import NeuralRendererDataset
     from confignet_tpu.metrics.celeba_attribute_prediction import (

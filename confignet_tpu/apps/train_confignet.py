@@ -17,7 +17,10 @@ import sys
 
 def parse_args(args):
     from confignet_tpu.core import remote_logging
-    from confignet_tpu.core.profiling import maybe_trace
+    from confignet_tpu.core.profiling import (
+        enable_persistent_compilation_cache,
+        maybe_trace,
+    )
     from confignet_tpu.core.randomness import initialize_random_seed
 
     parser = argparse.ArgumentParser(description="ConfigNet training")
@@ -58,6 +61,7 @@ def parse_args(args):
     aml_run = remote_logging.get_aml_run()
     remote_logging.log_job_params(aml_run, args)
     initialize_random_seed(0)
+    enable_persistent_compilation_cache()
 
     if args.data_dir is not None:
         for attr in ("real_training_set_path", "synth_training_set_path",

@@ -5,7 +5,10 @@ import argparse
 import os
 import sys
 
-from confignet_tpu.core.profiling import maybe_trace
+from confignet_tpu.core.profiling import (
+    enable_persistent_compilation_cache,
+    maybe_trace,
+)
 
 
 def parse_args(args):
@@ -18,6 +21,9 @@ def parse_args(args):
     parser.add_argument("--output_dir", required=True)
     parser.add_argument("--profile_dir", default=None,
                         help="Capture a jax.profiler trace of training")
+    parser.add_argument("--backbones_dir", default=None,
+                        help="Directory with inception_v3_notop.h5 for "
+                             "ImageNet FID/KID features")
     parser.add_argument("--num_mlp_layers", type=int, default=3)
     parser.add_argument("--hidden_layer_size_multiplier", type=float, default=1.5)
     parser.add_argument("--latent_distribution_type", default="normal")
@@ -29,6 +35,7 @@ def parse_args(args):
     args = parser.parse_args(args)
 
     initialize_random_seed(0)
+    enable_persistent_compilation_cache()
 
     if args.data_dir is not None:
         args.training_set_path = os.path.join(args.data_dir, args.training_set_path)
@@ -42,6 +49,8 @@ def parse_args(args):
 
     training_set = NeuralRendererDataset.load(args.training_set_path)
     confignet_model = load_confignet(args.confignet_path)
+    if args.backbones_dir is not None:
+        confignet_model.config["backbones_dir"] = args.backbones_dir
 
     config = {
         "latent_dim": confignet_model.config["latent_dim"],

@@ -18,3 +18,29 @@ def maybe_trace(profile_dir=None):
     import jax
 
     return jax.profiler.trace(profile_dir, create_perfetto_trace=True)
+
+
+def enable_persistent_compilation_cache() -> None:
+    """Point XLA's persistent compilation cache at a local directory so CLI
+    reruns skip the (20-40 s per program on TPU) compile step.
+
+    Called by the ``confignet_tpu.apps`` entry points.  Override the
+    location with ``CONFIGNET_TPU_CACHE_DIR``; disable with
+    ``CONFIGNET_TPU_CACHE_DIR=0``.  Safe to call multiple times.
+    """
+    import os
+
+    configured = os.environ.get("CONFIGNET_TPU_CACHE_DIR")
+    if configured == "0":
+        return
+    cache_dir = configured or os.path.join(
+        os.path.expanduser("~"), ".cache", "confignet_tpu", "jax_cache"
+    )
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except (OSError, AttributeError) as exc:  # pragma: no cover
+        print(f"WARNING: persistent compilation cache disabled ({exc})")

@@ -21,6 +21,7 @@ def load_keras_h5_weights(params: Dict[str, Any], h5_path: str) -> Dict[str, Any
     import jax.numpy as jnp
 
     new_params = dict(params)
+    matched = 0
     with h5py.File(h5_path, "r") as f:
         weight_root = f["model_weights"] if "model_weights" in f else f
         for layer_name in list(weight_root.keys()):
@@ -39,6 +40,15 @@ def load_keras_h5_weights(params: Dict[str, Any], h5_path: str) -> Dict[str, Any
                 elif _canonical_name(key) == "bias" and "bias" in entry:
                     entry["bias"] = jnp.asarray(arr)
             new_params[layer_name] = entry
+            matched += 1
+    if matched == 0:
+        # Never silently "load" nothing (Keras counter-style names don't
+        # match our module names — use load_keras_h5_ordered/_mapped then).
+        raise ValueError(
+            f"no layer names in {h5_path} match this model's modules; "
+            "for InceptionV3/MobileNetV2 use load_keras_h5_ordered, for "
+            "ResNet50 use load_keras_h5_mapped"
+        )
     return new_params
 
 
