@@ -4,7 +4,10 @@
 #   tf_parity   cross-framework parity vs the TensorFlow reference
 #   tpu         needs real TPU hardware (CONFIGNET_TPU_TEST_PLATFORM=tpu)
 
-.PHONY: test-fast test-slow test-all test-parity bench bench-train lint
+.PHONY: test-fast test-slow test-all test-parity test-tpu bench bench-train lint
+
+test-tpu:
+	CONFIGNET_TPU_TEST_PLATFORM=tpu python -m pytest tests/test_pallas_tpu.py -q
 
 test-fast:
 	python -m pytest tests/ -q -m "not slow and not tpu"

@@ -198,7 +198,9 @@ def bench_serving(results, n_iters=20):
     """End-to-end serving path: encode a real photo batch -> splice one
     facemodel attribute into the latents -> generate, all on device.  This
     is the demo/eval hot path (encode_images + set_facemodel_param_in_latents
-    + generate_images), measured as one jitted pipeline."""
+    + generate_images), measured as one jitted pipeline — the same program
+    ``confignet_tpu.serving.ConfigNetServer.render_with_attribute`` serves
+    (hand-rolled here so the bench controls device staging explicitly)."""
     import jax
     import jax.numpy as jnp
     import numpy as np

@@ -28,6 +28,7 @@ _LAZY_EXPORTS = {
     "InceptionMetrics": "confignet_tpu.metrics.controllability",
     "ControllabilityMetricConfigs": "confignet_tpu.metrics.controllability_metric_configs",
     "load_confignet": "confignet_tpu.core.model_io",
+    "ConfigNetServer": "confignet_tpu.serving",
 }
 
 

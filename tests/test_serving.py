@@ -1,0 +1,78 @@
+"""ConfigNetServer: the fused encode -> splice -> generate serving pipeline."""
+import numpy as np
+import pytest
+
+from helpers import TINY_FIRST_STAGE_CONFIG
+from confignet_tpu.serving import ConfigNetServer
+from confignet_tpu.training.second_stage import ConfigNet
+
+
+@pytest.fixture(scope="module")
+def server():
+    model = ConfigNet(dict(TINY_FIRST_STAGE_CONFIG))
+    return ConfigNetServer(model, chunk=4), model
+
+
+def test_encode_generate_roundtrip(server):
+    srv, model = server
+    imgs = np.random.default_rng(0).integers(0, 256, (3, 128, 128, 3), dtype=np.uint8)
+    latents, rotations = srv.encode(imgs)
+    assert latents.shape == (3, model.config["latent_dim"])
+    assert rotations.shape == (3, 3)
+
+    out = srv.generate(latents, rotations)
+    assert out.shape == (3, 128, 128, 3)
+    assert out.dtype == np.uint8
+
+    # matches the unfused reference-style API path.  Tolerances are
+    # relative: the random-init ResNet trunk amplifies activations to ~1e5,
+    # where conv tiling differences across batch shapes show at ~1e-3.
+    lat_ref, rot_ref = model.encode_images(imgs)
+    np.testing.assert_allclose(latents, lat_ref, rtol=2e-2)
+    np.testing.assert_allclose(rotations, rot_ref, atol=1e-2)
+    img_ref = model.generate_images(latents, rotations)
+    assert np.mean(np.abs(out.astype(int) - img_ref.astype(int))) < 1.0
+
+
+def test_render_with_attribute_fused(server):
+    srv, model = server
+    imgs = np.random.default_rng(1).integers(0, 256, (2, 128, 128, 3), dtype=np.uint8)
+    n_blend = model.config["facemodel_inputs"]["blendshape_values"][0]
+    value = np.zeros((1, n_blend), np.float32)
+
+    out = srv.render_with_attribute(imgs, "blendshape_values", value)
+    assert out.shape == (2, 128, 128, 3) and out.dtype == np.uint8
+
+    # equivalent unfused path
+    latents, rotations = model.encode_images(imgs)
+    latents = model.set_facemodel_param_in_latents(latents, "blendshape_values", value)
+    ref = model.generate_images(latents, rotations)
+    assert np.mean(np.abs(out.astype(int) - ref.astype(int))) < 1.0
+
+    # fixed rotations override the encoder pose
+    rot0 = np.zeros((2, 3), np.float32)
+    out_rot = srv.render_with_attribute(imgs, "blendshape_values", value, rotations=rot0)
+    assert out_rot.shape == (2, 128, 128, 3)
+
+
+def test_padding_chunks(server):
+    srv, _ = server
+    imgs = np.random.default_rng(2).integers(0, 256, (5, 128, 128, 3), dtype=np.uint8)
+    latents, rotations = srv.encode(imgs)  # 5 pads to 2 chunks of 4
+    assert latents.shape[0] == 5 and rotations.shape[0] == 5
+
+
+def test_sample_requires_latent_gan(server):
+    srv, _ = server
+    with pytest.raises(ValueError, match="LatentGAN"):
+        srv.sample(2)
+
+
+def test_sample_with_latent_gan(server):
+    srv, model = server
+    from confignet_tpu.training.latent_gan import LatentGAN
+
+    gan = LatentGAN({"latent_dim": model.config["latent_dim"], "batch_size": 4})
+    srv2 = ConfigNetServer(model, latent_gan=gan, chunk=4)
+    out = srv2.sample(2, truncation=0.7)
+    assert out.shape == (2, 128, 128, 3) and out.dtype == np.uint8
