@@ -30,10 +30,19 @@ class ConfigNetServer:
     any request size hits the same compiled program.
     """
 
-    def __init__(self, confignet, latent_gan=None, chunk: int = 32):
+    def __init__(self, confignet, latent_gan=None, chunk: int = 32, mesh=None):
+        """``mesh``: an optional ``jax.sharding.Mesh`` — parameters are
+        replicated and every chunk's batch axis sharded over its ``data``
+        axis, so one server scales generation across all chips of a slice
+        (XLA partitions the pipeline; no code change)."""
         self.confignet = confignet
         self.latent_gan = latent_gan
         self.chunk = int(chunk)
+        self.mesh = mesh
+        if mesh is not None and self.chunk % mesh.size != 0:
+            raise ValueError(
+                f"chunk ({self.chunk}) must be divisible by the mesh size "
+                f"({mesh.size}) so batches shard evenly")
 
         self._enc_params = confignet.state.generator.params["real_encoder"]
         self._gen_params = (
@@ -42,6 +51,12 @@ class ConfigNetServer:
             else confignet.state.generator_smoothed
         )
         self._synth_params = confignet.state.generator.params["synthetic_encoder"]
+        if mesh is not None:
+            from confignet_tpu.parallel import replicate
+
+            self._enc_params = replicate(mesh, self._enc_params)
+            self._gen_params = replicate(mesh, self._gen_params)
+            self._synth_params = replicate(mesh, self._synth_params)
         self._fns: Dict[object, object] = {}
 
     # -- building blocks (traced under jit) -----------------------------
@@ -89,7 +104,12 @@ class ConfigNetServer:
                 pad = self.chunk - piece.shape[0]
                 if pad:
                     piece = np.concatenate([piece, np.repeat(piece[-1:], pad, axis=0)])
-                pieces.append(jnp.asarray(piece))
+                if self.mesh is not None:
+                    from confignet_tpu.parallel import shard_batch
+
+                    pieces.append(shard_batch(self.mesh, piece))
+                else:
+                    pieces.append(jnp.asarray(piece))
             outs.append(fn(*pieces))
         def cat(i):
             return np.concatenate([np.asarray(o[i] if isinstance(o, tuple) else o)

@@ -76,3 +76,29 @@ def test_sample_with_latent_gan(server):
     srv2 = ConfigNetServer(model, latent_gan=gan, chunk=4)
     out = srv2.sample(2, truncation=0.7)
     assert out.shape == (2, 128, 128, 3) and out.dtype == np.uint8
+
+
+@pytest.mark.slow
+def test_server_mesh_sharded():
+    """ConfigNetServer over an 8-device data mesh: params replicated,
+    chunks sharded; results match single-device serving."""
+    import jax
+
+    from confignet_tpu.parallel import create_mesh
+
+    model = ConfigNet(dict(TINY_FIRST_STAGE_CONFIG))
+    mesh = create_mesh(jax.devices()[:8])
+    srv_mesh = ConfigNetServer(model, chunk=8, mesh=mesh)
+    srv_one = ConfigNetServer(model, chunk=8)
+
+    imgs = np.random.default_rng(7).integers(0, 256, (8, 128, 128, 3), dtype=np.uint8)
+    lat_m, rot_m = srv_mesh.encode(imgs)
+    lat_1, rot_1 = srv_one.encode(imgs)
+    np.testing.assert_allclose(lat_m, lat_1, rtol=2e-2)
+    np.testing.assert_allclose(rot_m, rot_1, atol=1e-2)
+
+    out = srv_mesh.generate(lat_m, rot_m)
+    assert out.shape == (8, 128, 128, 3) and out.dtype == np.uint8
+
+    with pytest.raises(ValueError, match="divisible"):
+        ConfigNetServer(model, chunk=6, mesh=mesh)
