@@ -62,7 +62,11 @@ def compute_discriminator_loss(
     out_fake = discriminator_fn(fake_imgs)
 
     losses: Dict[str, jax.Array] = {}
-    head_keys = list(out_real.keys())
+    # Head order comes from the DIRECT call: jax.vjp rebuilds its output
+    # pytree with sorted dict keys, which would put "discr_final" first and
+    # misalign the per-head loss indices vs the reference's insertion-order
+    # enumeration (losses.py:32-43).
+    head_keys = list(out_fake.keys())
 
     for i, key in enumerate(head_keys):
         losses[f"GAN_loss_real_{i}"] = gan_d_loss(1.0, out_real[key])

@@ -666,3 +666,112 @@ def test_resnet50_h5_parity(tmp_path):
 
     assert feats_jax.shape == feats_tf.shape == (2, 2048)
     np.testing.assert_allclose(feats_jax, feats_tf, atol=5e-3, rtol=2e-3)
+
+
+# ---------------------------------------------------------------------------
+# Training-step parity: one discriminator update (grads through the
+# multi-head GAN loss incl. R1 grad-of-grad, then Adam) vs the reference
+# ---------------------------------------------------------------------------
+
+@pytest.mark.slow
+def test_discriminator_training_step_parity():
+    """Mirrors reference confignet_first_stage.py:466-477: same weights,
+    same batch, one discriminator update on the reference TF side (eager
+    GradientTape + Keras Adam(4e-4, betas (0, 0.9), eps 1e-7)) and on ours
+    (jax.value_and_grad + optax via training.state).  Pins the full
+    backward pass INCLUDING the R1 gradient-of-gradient: per-head losses,
+    per-leaf gradient direction/magnitude, and the Adam update scale.
+
+    Tolerances are noise-bound, not bit-exact: a 3-conv instance-normed
+    trunk under f32 with different accumulation orders (oneDNN vs XLA)
+    already shows ~1% wobble on the final logit, which propagates into the
+    gradients.  What this test pins is structure: gradients pointing the
+    same way with the same norms, and updates of the right scale.
+    """
+    ref_losses = load_ref_module("losses")
+    ref_mod = load_ref_module("dnn_models.hologan_discriminator")
+
+    rng = np.random.default_rng(41)
+    real = rng.uniform(-1, 1, size=(4, 32, 32, 3)).astype(np.float32)
+    fake = rng.uniform(-1, 1, size=(4, 32, 32, 3)).astype(np.float32)
+
+    tf_disc = ref_mod.HologanDiscriminator(img_shape=(32, 32), **_DISCR_KW)
+    tf_disc(tf.constant(real))
+    randomize_tf_weights(tf_disc, seed=42)
+    wl0 = tf_disc.get_weights()
+
+    # --- reference step (confignet_first_stage.py:469-474) ---
+    optimizer = tf.keras.optimizers.Adam(
+        learning_rate=4e-4, beta_1=0.0, beta_2=0.9, epsilon=1e-7)
+    with tf.GradientTape() as tape:
+        losses_tf = ref_losses.compute_discriminator_loss(
+            tf_disc, tf.constant(real), tf.constant(fake))
+    tf_grads = tape.gradient(losses_tf["loss_sum"], tf_disc.trainable_weights)
+    # trainable_weights order == get_weights order here (everything is
+    # trainable), so the gradient list maps through the same path table.
+    grad_list = [g.numpy() for g in tf_grads]
+    optimizer.apply_gradients(zip(tf_grads, tf_disc.trainable_weights))
+    wl1 = tf_disc.get_weights()
+
+    # --- our step (training/first_stage.py d_loss + Player.apply_gradients) ---
+    from confignet_tpu.losses import gan as our_losses
+    from confignet_tpu.models.discriminator import HologanDiscriminator
+    from confignet_tpu.training.state import Player, make_adam
+
+    disc = HologanDiscriminator(
+        img_shape=(32, 32), num_resample=3, disc_kernel_size=3,
+        disc_expansion_factor=8, disc_max_feature_maps=64,
+        initial_from_rgb_layer_in_discr=True)
+    init_params = disc.init(jax.random.PRNGKey(0), jnp.asarray(real))["params"]
+    paths = ri.discriminator_weight_paths(3, True, "grouped")
+    params = ri.assign_weight_list(dict(init_params), wl0, paths, "discriminator")
+
+    tx = make_adam({"lr": 4e-4, "beta_1": 0.0, "beta_2": 0.9})
+    player = Player.create(params, tx)
+
+    def d_loss(p):
+        losses = our_losses.compute_discriminator_loss(
+            lambda x: disc.apply({"params": p}, x),
+            jnp.asarray(real), jnp.asarray(fake))
+        return losses["loss_sum"], losses
+
+    (_, losses_jax), d_grads = jax.value_and_grad(d_loss, has_aux=True)(player.params)
+    new_player = player.apply_gradients(d_grads, tx)
+
+    # (a) per-head loss values agree to noise level
+    for key, val in losses_tf.items():
+        np.testing.assert_allclose(
+            float(losses_jax[key]), float(val.numpy()), rtol=2e-2, atol=5e-3,
+            err_msg=f"loss {key}")
+
+    # (b) gradients: same direction and magnitude per leaf
+    ref_grad_tree = ri.assign_weight_list(
+        dict(init_params), grad_list, paths, "discriminator")
+    flat_ref = dict(jax.tree_util.tree_leaves_with_path(ref_grad_tree))
+    for path, ours in jax.tree_util.tree_leaves_with_path(d_grads):
+        g_ref = np.asarray(flat_ref[path]).ravel()
+        g_our = np.asarray(ours).ravel()
+        norm = np.linalg.norm(g_ref)
+        name = jax.tree_util.keystr(path)
+        assert norm > 0, f"zero reference gradient at {name}"
+        cos = float(np.dot(g_ref, g_our) / (norm * np.linalg.norm(g_our)))
+        rel_l2 = float(np.linalg.norm(g_our - g_ref) / norm)
+        assert cos > 0.999, f"gradient direction mismatch at {name}: cos={cos}"
+        assert rel_l2 < 0.05, f"gradient magnitude mismatch at {name}: rel={rel_l2}"
+
+    # (c) the applied update has Adam's first-step scale and the same signs
+    # as the TF update wherever the step is significant
+    updated_ref = ri.assign_weight_list(dict(init_params), wl1, paths, "discriminator")
+    before = dict(jax.tree_util.tree_leaves_with_path(params))
+    after_ref = dict(jax.tree_util.tree_leaves_with_path(updated_ref))
+    lr = 4e-4
+    for path, ours_after in jax.tree_util.tree_leaves_with_path(new_player.params):
+        delta_ours = np.asarray(ours_after) - np.asarray(before[path])
+        delta_ref = np.asarray(after_ref[path]) - np.asarray(before[path])
+        name = jax.tree_util.keystr(path)
+        assert np.max(np.abs(delta_ours)) <= 1.2 * lr + 1e-9, name
+        significant = np.abs(delta_ref) > 0.5 * lr
+        if significant.any():
+            agree = np.mean(
+                np.sign(delta_ours[significant]) == np.sign(delta_ref[significant]))
+            assert agree > 0.97, f"update sign agreement {agree} at {name}"
