@@ -322,10 +322,11 @@ def test_perceptual_vggface_parity(tmp_path, monkeypatch):
 # ---------------------------------------------------------------------------
 
 @pytest.mark.slow
-def _build_matched_first_stage(tmp_path):
-    """Build the full set of TF reference first-stage models with random
-    weights, write them as a reference-format checkpoint
-    (confignet_first_stage.py:129-139,173-175), and load it through
+def _build_matched_first_stage(tmp_path, stage2=False):
+    """Build the full set of TF reference models with random weights, write
+    them as a reference-format checkpoint
+    (confignet_first_stage.py:129-139,173-175; second stage adds the real
+    encoder, confignet_second_stage.py:35-43), and load it through
     ``load_reference_confignet`` — returning both sides with identical
     weights for composed-model parity tests."""
     from collections import OrderedDict
@@ -377,8 +378,22 @@ def _build_matched_first_stage(tmp_path):
         wl[0] = np.zeros_like(wl[0])
         tf_g.set_weights(wl)
 
+    tf_encoder = None
+    if stage2:
+        enc_mod = load_ref_module("dnn_models.real_encoder")
+        orig_resnet = enc_mod.resnet50.ResNet50
+        enc_mod.resnet50.ResNet50 = (
+            lambda **kw: orig_resnet(**{**kw, "weights": None}))
+        try:
+            tf_encoder = enc_mod.RealEncoder(
+                latent_dim, (size, size, 3), ((-30, 30), (-10, 10), (0, 0)))
+            tf_encoder(tf.constant(img))
+        finally:
+            enc_mod.resnet50.ResNet50 = orig_resnet
+        randomize_tf_weights(tf_encoder, seed=30)
+
     config = {
-        "model_type": "ConfigNetFirstStage",
+        "model_type": "ConfigNet" if stage2 else "ConfigNetFirstStage",
         "output_shape": (size, size, 3),
         "n_adain_mlp_units": 32,
         "n_adain_mlp_layers": 2,
@@ -397,8 +412,13 @@ def _build_matched_first_stage(tmp_path):
     json_path = str(tmp_path / "model.json")
     with open(json_path, "w") as fp:
         json.dump(config, fp)
+    extra = {}
+    if stage2:
+        extra["real_encoder_weights"] = np.array(
+            tf_encoder.get_weights(), dtype=object)
     np.savez(
         str(tmp_path / "model.npz"),
+        **extra,
         generator_weights=np.array(tf_gen.get_weights(), dtype=object),
         generator_smoothed_weights=np.array(tf_gen_s.get_weights(), dtype=object),
         discriminator_weights=np.array(tf_disc.get_weights(), dtype=object),
@@ -415,6 +435,7 @@ def _build_matched_first_stage(tmp_path):
         tf_gen=tf_gen, tf_gen_s=tf_gen_s, tf_disc=tf_disc,
         tf_synth_disc=tf_synth_disc, tf_reg=tf_reg,
         tf_latent_disc=tf_latent_disc, tf_synth_enc=tf_synth_enc,
+        tf_encoder=tf_encoder,
     )
 
 
@@ -921,3 +942,144 @@ def test_discriminator_training_step_parity():
             agree = np.mean(
                 np.sign(delta_ours[significant]) == np.sign(delta_ref[significant]))
             assert agree > 0.97, f"update sign agreement {agree} at {name}"
+
+
+@pytest.fixture(scope="module")
+def matched_second_stage(tmp_path_factory):
+    return _build_matched_first_stage(tmp_path_factory.mktemp("refckpt2"),
+                                      stage2=True)
+
+
+@pytest.mark.slow
+def test_stage2_g_step_loss_parity(matched_second_stage, tmp_path):
+    """The stage-2 generator-step loss assembly vs the reference
+    (confignet_second_stage.py:149-213): autoencoding image losses on BOTH
+    domains (encoder in the loop), eye loss, per-head GAN on both
+    discriminators, the label-flipped domain-adversarial latent loss, and
+    the variance-normalized latent regression — every sub-model including
+    the ResNet50 real encoder weight-matched to the live TF instances."""
+    m = matched_second_stage
+    model = m["model"]
+    keras = tf.keras
+    ref_losses = load_ref_module("losses")
+    size = m["size"]
+    cfg = model.config
+
+    vgg = keras.applications.vgg19.VGG19(weights=None, include_top=False,
+                                         input_shape=(size, size, 3))
+    randomize_tf_weights(vgg, seed=78)
+    h5_path = str(tmp_path / "vgg19.h5")
+    vgg.save_weights(h5_path)
+    model.perceptual_loss.load_keras_weights(h5_path)
+    tf_acts = keras.Model(vgg.input, [vgg.layers[i].output for i in (1, 2)])
+
+    def tf_perceptual(a, b):  # mirror reference perceptual_loss.py:42-82
+        pa = keras.applications.vgg19.preprocess_input((a + 1) * 127.5)
+        pb = keras.applications.vgg19.preprocess_input((b + 1) * 127.5)
+        terms = [tf.reduce_mean(tf.losses.mean_squared_error(
+                     tf.reshape(x, [-1]), tf.reshape(y, [-1])))
+                 for x, y in zip(tf_acts(pa), tf_acts(pb))]
+        return tf.reduce_mean(tf.add_n(terms))
+
+    rng = np.random.default_rng(56)
+    n_synth, n_real = 2, 2
+    facemodel = [rng.normal(size=(n_synth, d[0])).astype(np.float32)
+                 for d in m["facemodel_inputs"].values()]
+    synth_rot = rng.uniform(-0.3, 0.3, size=(n_synth, 3)).astype(np.float32)
+    gt_u8 = rng.integers(0, 256, size=(n_synth, size, size, 3)).astype(np.uint8)
+    gt = gt_u8.astype(np.float32) / 127.5 - 1.0
+    eye_masks = (rng.uniform(size=(n_synth, size, size)) > 0.8).astype(np.float32)
+    real_u8 = rng.integers(0, 256, size=(n_real, size, size, 3)).astype(np.uint8)
+    real_f = real_u8.astype(np.float32) / 127.5 - 1.0
+
+    # ---- TF mirror of confignet_second_stage.py:167-213 ----
+    tf_fm = {k: tf.constant(v)
+             for k, v in zip(m["facemodel_inputs"].keys(), facemodel)}
+    synth_latents_tf = m["tf_synth_enc"](tf_fm)
+    out_synth_tf = m["tf_gen"]((synth_latents_tf, tf.constant(synth_rot)))
+    real_lat_tf, real_rot_tf = m["tf_encoder"](tf.constant(real_f))
+    out_real_tf = m["tf_gen"]((real_lat_tf, real_rot_tf))
+
+    losses_tf = {}
+    losses_tf["image_loss_synth"] = cfg["image_loss_weight"] * tf_perceptual(
+        tf.constant(gt), out_synth_tf)
+    losses_tf["image_loss_real"] = cfg["image_loss_weight"] * tf_perceptual(
+        tf.constant(real_f), out_real_tf)
+    losses_tf["eye_loss"] = cfg["eye_loss_weight"] * ref_losses.eye_loss(
+        tf.constant(gt), out_synth_tf, eye_masks)
+    for i, head in enumerate(m["tf_synth_disc"](out_synth_tf).values()):
+        losses_tf[f"GAN_loss_synth_{i}"] = ref_losses.GAN_G_loss(head)
+    for i, head in enumerate(m["tf_disc"](out_real_tf).values()):
+        losses_tf[f"GAN_loss_real_{i}"] = ref_losses.GAN_G_loss(head)
+    ld_real = m["tf_latent_disc"](real_lat_tf)
+    ld_synth = m["tf_latent_disc"](synth_latents_tf)
+    ld_labels = np.vstack((np.zeros((n_real, 1), np.float32),
+                           np.ones((n_synth, 1), np.float32)))
+    losses_tf["latent_GAN_loss"] = cfg["domain_adverserial_loss_weight"] * \
+        ref_losses.GAN_D_loss(ld_labels, tf.concat((ld_real, ld_synth), axis=0))
+    # Variance-normalized regression (confignet_second_stage.py:93-107).
+    stacked_lat = tf.concat((synth_latents_tf, real_lat_tf), axis=0)
+    stacked_img = tf.concat((out_synth_tf, out_real_tf), axis=0)
+    stacked_rot = tf.concat((tf.constant(synth_rot), real_rot_tf), axis=0)
+    labels_tf = tf.concat(
+        (stacked_lat, cfg["latent_regressor_rot_weight"] * stacked_rot), axis=-1)
+    reg_out_tf = m["tf_reg"](stacked_img)
+    denom = tf.sqrt(tf.math.reduce_variance(labels_tf, axis=0, keepdims=True) + 1e-3)
+    denom = tf.concat((denom[:, :-3], tf.ones((1, 3), tf.float32)), axis=1)
+    p = tf.reduce_mean(reg_out_tf, axis=0) + (reg_out_tf - tf.reduce_mean(reg_out_tf, axis=0)) / denom
+    l = tf.reduce_mean(labels_tf, axis=0) + (labels_tf - tf.reduce_mean(labels_tf, axis=0)) / denom
+    losses_tf["latent_regression_loss"] = cfg["latent_regression_weight"] * \
+        tf.reduce_mean(tf.losses.mean_squared_error(l, p))
+    losses_tf["loss_sum"] = tf.add_n(list(losses_tf.values()))
+
+    # ---- our side: same assembly through the model's pure helpers ----
+    from confignet_tpu.losses import gan as our_losses
+    from confignet_tpu.losses import normalized_latent_regression_loss
+
+    gen_player = model.state.generator.params
+    vgg_params = model.perceptual_loss.variables["params"]
+    fm = tuple(jnp.asarray(f) for f in facemodel)
+    synth_latents = model._synth_enc_apply(gen_player["synthetic_encoder"], fm)
+    out_synth = model._gen_apply(gen_player["generator"], synth_latents,
+                                 jnp.asarray(synth_rot))
+    real_latents, real_rotations = model._encoder_apply(
+        gen_player["real_encoder"], jnp.asarray(real_f))
+    out_real = model._gen_apply(gen_player["generator"], real_latents, real_rotations)
+
+    losses_jax = {}
+    gt_jax = jnp.asarray(gt)
+    losses_jax["image_loss_synth"] = cfg["image_loss_weight"] * \
+        model.perceptual_loss.loss_fn(vgg_params, gt_jax, out_synth)
+    losses_jax["image_loss_real"] = cfg["image_loss_weight"] * \
+        model.perceptual_loss.loss_fn(vgg_params, jnp.asarray(real_f), out_real)
+    losses_jax["eye_loss"] = cfg["eye_loss_weight"] * our_losses.eye_loss(
+        gt_jax, out_synth, jnp.asarray(eye_masks))
+    for i, head in enumerate(model._synth_disc_apply(
+            model.state.synth_discriminator.params, out_synth).values()):
+        losses_jax[f"GAN_loss_synth_{i}"] = our_losses.gan_g_loss(head)
+    for i, head in enumerate(model._disc_apply(
+            model.state.discriminator.params, out_real).values()):
+        losses_jax[f"GAN_loss_real_{i}"] = our_losses.gan_g_loss(head)
+    ld_out = jnp.concatenate([
+        model._latent_disc_apply(model.state.latent_discriminator.params, real_latents),
+        model._latent_disc_apply(model.state.latent_discriminator.params, synth_latents),
+    ], axis=0)
+    labels = jnp.concatenate(
+        [jnp.zeros((n_real, 1)), jnp.ones((n_synth, 1))], axis=0)
+    losses_jax["latent_GAN_loss"] = cfg["domain_adverserial_loss_weight"] * \
+        our_losses.gan_d_loss(labels, ld_out)
+    stacked_lat_j = jnp.concatenate([synth_latents, real_latents], axis=0)
+    stacked_img_j = jnp.concatenate([out_synth, out_real], axis=0)
+    stacked_rot_j = jnp.concatenate([jnp.asarray(synth_rot), real_rotations], axis=0)
+    labels_j = jnp.concatenate(
+        [stacked_lat_j, cfg["latent_regressor_rot_weight"] * stacked_rot_j], axis=-1)
+    reg_out = model._regressor_apply(gen_player["latent_regressor"], stacked_img_j)
+    losses_jax["latent_regression_loss"] = normalized_latent_regression_loss(
+        reg_out, labels_j, cfg["latent_regression_weight"])
+    losses_jax["loss_sum"] = sum(losses_jax.values())
+
+    assert set(losses_jax) == set(losses_tf)
+    for key in losses_tf:
+        np.testing.assert_allclose(
+            float(losses_jax[key]), float(losses_tf[key].numpy()),
+            rtol=2e-2, atol=1e-4, err_msg=f"stage-2 G-step loss {key}")
