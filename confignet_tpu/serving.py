@@ -88,9 +88,12 @@ class ConfigNetServer:
 
     # -- public API ------------------------------------------------------
 
-    def _chunked(self, key, build_fn, arrays: Sequence[np.ndarray]):
+    def _chunked(self, key, build_fn, arrays: Sequence[np.ndarray], extra=()):
         """Pad the leading axis to ``chunk``, run the cached jitted fn per
-        chunk, strip padding."""
+        chunk, strip padding.  ``extra`` arguments are passed through
+        verbatim (no chunking) — pipeline inputs like attribute values MUST
+        travel this way, not as closure captures, or the cached jit would
+        constant-fold the first call's value."""
         fn = self._fns.get(key)
         if fn is None:
             fn = jax.jit(build_fn)
@@ -110,7 +113,7 @@ class ConfigNetServer:
                     pieces.append(shard_batch(self.mesh, piece))
                 else:
                     pieces.append(jnp.asarray(piece))
-            outs.append(fn(*pieces))
+            outs.append(fn(*pieces, *extra))
         def cat(i):
             return np.concatenate([np.asarray(o[i] if isinstance(o, tuple) else o)
                                    for o in outs])[:n]
@@ -147,19 +150,20 @@ class ConfigNetServer:
         value_dev = jnp.asarray(value)
 
         if rotations is None:
-            def pipeline(imgs):
+            def pipeline(imgs, value):
                 latents, rots = self._encode(imgs)
-                return self._generate(self._splice(latents, param_name, value_dev), rots)
+                return self._generate(self._splice(latents, param_name, value), rots)
 
-            return self._chunked(("pipe", param_name, value.shape), pipeline, [images])
+            return self._chunked(("pipe", param_name, value.shape), pipeline,
+                                 [images], extra=(value_dev,))
 
-        def pipeline(imgs, rots):
+        def pipeline(imgs, rots, value):
             latents, _ = self._encode(imgs)
-            return self._generate(self._splice(latents, param_name, value_dev), rots)
+            return self._generate(self._splice(latents, param_name, value), rots)
 
         return self._chunked(
             ("pipe_rot", param_name, value.shape), pipeline,
-            [images, np.asarray(rotations, np.float32)],
+            [images, np.asarray(rotations, np.float32)], extra=(value_dev,),
         )
 
     def sample(self, n: int, rotations: Optional[np.ndarray] = None,

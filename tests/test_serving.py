@@ -102,3 +102,18 @@ def test_server_mesh_sharded():
 
     with pytest.raises(ValueError, match="divisible"):
         ConfigNetServer(model, chunk=6, mesh=mesh)
+
+
+def test_render_with_attribute_value_not_baked(server):
+    """Two calls with different attribute values must not reuse the first
+    value through the jit cache (values travel as arguments, not closure
+    captures)."""
+    srv, model = server
+    imgs = np.random.default_rng(3).integers(0, 256, (2, 128, 128, 3), dtype=np.uint8)
+    n_blend = model.config["facemodel_inputs"]["blendshape_values"][0]
+
+    out_zero = srv.render_with_attribute(
+        imgs, "blendshape_values", np.zeros((1, n_blend), np.float32))
+    out_one = srv.render_with_attribute(
+        imgs, "blendshape_values", np.full((1, n_blend), 3.0, np.float32))
+    assert not np.array_equal(out_zero, out_one)
