@@ -9,7 +9,7 @@ conv(1280).  BN(frozen stats) + ReLU6 as in Keras inference behavior.
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
