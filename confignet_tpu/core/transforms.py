@@ -177,6 +177,12 @@ def rotate_3d_grid_matmul(grid: jax.Array, transform: jax.Array) -> jax.Array:
         + (z_iota == c[:, 2][..., None]).astype(grid.dtype) * dz
     )  # (B, P, S)
 
+    # The fractional weights (dx/dy/dz) are f32 regardless of the grid
+    # dtype, so the products above promote; cast back so the scan carry
+    # keeps the grid dtype (bf16 grids hit a carry-type error otherwise).
+    w_xy = w_xy.astype(grid.dtype)
+    w_z = w_z.astype(grid.dtype)
+
     # grid as (B, S^2, S, C): contiguous (x*S+y) rows per z-slice.
     g = jnp.reshape(grid, (batch, plane, size, channels))
 

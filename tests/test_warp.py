@@ -36,3 +36,20 @@ def test_align_image_roundtrip(rng):
     # identity landmark placement -> identity warp
     out = align_image(img, canonical, (64, 64), canonical)
     np.testing.assert_allclose(out, img, atol=1)
+
+
+def test_rotate_matmul_bf16_dtype():
+    """The one-hot-matmul rotation must preserve a bfloat16 grid dtype
+    (the f32 fractional weights used to promote the scan carry, breaking
+    bf16 generators configured with rotation_resample='matmul')."""
+    import jax.numpy as jnp
+    from confignet_tpu.core.transforms import rotate_3d_grid, rotate_3d_grid_matmul
+
+    rng = np.random.default_rng(11)
+    grid = jnp.asarray(rng.normal(size=(2, 8, 8, 8, 4)).astype(np.float32)).astype(jnp.bfloat16)
+    t = jnp.asarray(np.tile(np.eye(3, dtype=np.float32)[None], (2, 1, 1)))
+    out = rotate_3d_grid_matmul(grid, t)
+    assert out.dtype == jnp.bfloat16
+    ref = rotate_3d_grid(grid, t)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32), atol=2e-2)
