@@ -111,7 +111,7 @@ def _rotate_kernel_grad_grid(ct_ref, xyidx_ref, zidx_ref, frac_ref, out_ref, *, 
 
 @functools.partial(jax.jit, static_argnames=("size", "point_block"))
 def _rotate_grad_grid(ct: jax.Array, xyidx, zidx, frac, size: int = 16,
-                      point_block: int = 1024) -> jax.Array:
+                      point_block: int = 1024) -> jax.Array:  # bwd revisits the out block; 1024 profiles best
     batch, num_points, channels = ct.shape
     pb = min(point_block, num_points)
     kernel = functools.partial(_rotate_kernel_grad_grid, size=size)
@@ -175,7 +175,11 @@ rotate_3d_grid_fused.defvjp(_rotate_fused_fwd, _rotate_fused_bwd)
 @functools.partial(jax.jit, static_argnames=("point_block",))
 def rotate_3d_grid_pallas(grid: jax.Array, transform: jax.Array, point_block: int = 1024) -> jax.Array:
     """Drop-in replacement for ``rotate_3d_grid`` backed by the fused Pallas
-    kernel.  Same interpolation contract (clamped borders, trilinear)."""
+    kernel.  Same interpolation contract (clamped borders, trilinear).
+
+    point_block=2048 measures ~6% faster for bf16 C=128 volumes but fails
+    to compile for f32 shapes on this toolchain; 1024 is the safe default.
+    """
     from confignet_tpu.core.transforms import _source_coords
 
     assert grid.shape[1] == grid.shape[2] == grid.shape[3], "grid must be cubic"
