@@ -40,7 +40,13 @@ def main() -> None:
 
     rng = np.random.default_rng(0)
     z = shard_batch(mesh, rng.normal(size=(batch, latent_dim)).astype(np.float32))
-    rot = shard_batch(mesh, rng.uniform(-0.3, 0.3, size=(batch, 3)).astype(np.float32))
+    # Head-pose distribution = the reference's sampling ranges (yaw +-30deg,
+    # pitch +-10deg, roll 0 — confignet_first_stage.py:404-435 /
+    # rotation_ranges).  The rotation kernel's slab-skip bounds are
+    # data-dependent, so the benchmark must use the real pose distribution.
+    rot = rng.uniform(-1.0, 1.0, size=(batch, 3)).astype(np.float32)
+    rot *= np.array([np.pi / 6, np.pi / 18, 0.0], np.float32)
+    rot = shard_batch(mesh, rot)
 
     def many(p, z, r):
         def body(i, acc):

@@ -173,28 +173,31 @@ def rotate_3d_grid_matmul(grid: jax.Array, transform: jax.Array) -> jax.Array:
 
     z_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, size), 2)
     w_z = (
-        (z_iota == f[:, 2][..., None]).astype(grid.dtype) * (1 - dz)
-        + (z_iota == c[:, 2][..., None]).astype(grid.dtype) * dz
-    )  # (B, P, S)
+        (z_iota == f[:, 2][..., None]).astype(jnp.float32) * (1 - dz)
+        + (z_iota == c[:, 2][..., None]).astype(jnp.float32) * dz
+    )  # (B, P, S), f32 — z weights are applied outside the MXU
 
-    # The fractional weights (dx/dy/dz) are f32 regardless of the grid
-    # dtype, so the products above promote; cast back so the scan carry
-    # keeps the grid dtype (bf16 grids hit a carry-type error otherwise).
+    # The matmul operands take the grid dtype (bf16 grids run the MXU in
+    # bf16, same as the Pallas kernel), but the per-slice interpolation is
+    # accumulated in f32 and only the final result is cast back — matching
+    # the Pallas kernel's f32 accumulator so the two paths agree.
     w_xy = w_xy.astype(grid.dtype)
-    w_z = w_z.astype(grid.dtype)
 
     # grid as (B, S^2, S, C): contiguous (x*S+y) rows per z-slice.
     g = jnp.reshape(grid, (batch, plane, size, channels))
 
     def body(s, acc):
         slice_s = jax.lax.dynamic_index_in_dim(g, s, axis=2, keepdims=False)  # (B, S^2, C)
-        sampled = jnp.einsum("bpq,bqc->bpc", w_xy, slice_s)  # MXU
+        sampled = jnp.einsum(
+            "bpq,bqc->bpc", w_xy, slice_s,
+            preferred_element_type=jnp.float32,
+        )  # MXU, f32 accumulation
         return acc + w_z[:, :, s][..., None] * sampled
 
     out = jax.lax.fori_loop(
-        0, size, body, jnp.zeros((batch, num_points, channels), grid.dtype)
+        0, size, body, jnp.zeros((batch, num_points, channels), jnp.float32)
     )
-    return jnp.reshape(out, grid.shape)
+    return jnp.reshape(out, grid.shape).astype(grid.dtype)
 
 
 def rotate_3d_grid_reference_numpy(grid: np.ndarray, transform: np.ndarray) -> np.ndarray:

@@ -8,13 +8,27 @@ reformulated as one-hot matmuls it is MXU work but XLA materializes the
 everything in VMEM:
 
   for each (sample, point-block):
-      build the (PB, S^2) bilinear one-hot over the (x, y) plane  [VPU]
-      for each source z-slice (16, static):
-          acc += w_z[:, z] * (W_xy @ grid[:, z, :])               [MXU]
+      build the (PB, S^2) bilinear one-hot over the (y, z) plane  [VPU]
+      for each source x-slab (16, static):
+          acc += w_x[:, s] * (W_yz @ grid[:, s, :])               [MXU]
 
 One whole sample's volume (<= 2 MB) sits in VMEM; the interpolation
 weights never touch HBM.  Interpolation math (floor/clip/weights) is
-computed in XLA beforehand and is bit-identical to the gather variant.
+computed in XLA beforehand and is bit-compatible with the gather variant.
+
+Slab-axis choice (round 3, measured): the slab loop runs over source *x*
+(grid axis 0), not z.  With the reference's rotation ranges (yaw +-30deg,
+pitch +-10deg, roll 0) the rotation matrix row for x is (cos p, 0, sin p)
+— source x is mixed only by the small pitch angle — while source y/z
+suffer the +-sin(30deg) yaw mixing.  Natural point order is x-slowest, so
+every 1024-point block is a 4-wide output-x window whose source-x span is
+~5-8 of the 16 slabs; the kernel computes each block's [smin, smax]
+dynamically and `pl.when`-skips the rest, cutting the dense matmul FLOPs
+~2-3x deterministically.  (The alternative — sorting points by source-z —
+was measured and rejected: the XLA counting-sort prelude costs ~40 ms and
+the unpermute row-gather ~17 ms at B=256, dwarfing the kernel itself.)
+The grid's native (B, S, S*S, C) reshape already exposes x-slabs with
+contiguous (y, z) rows, so no transpose or permutation is needed anywhere.
 """
 from __future__ import annotations
 
@@ -26,47 +40,65 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _rotate_kernel_full(grid_ref, xyidx_ref, zidx_ref, frac_ref, out_ref, *, size: int):
+def _bilinear_plane_weights(pidx_ref, frac_ref, pb: int, plane: int):
+    """The (PB, S^2) bilinear one-hot over the (y, z) plane, plus the
+    fractional slab weight dx.  frac rows are (dy, dz, dx)."""
+    dy = frac_ref[0, 0, :].astype(jnp.float32)[:, None]
+    dz = frac_ref[0, 1, :].astype(jnp.float32)[:, None]
+    dx = frac_ref[0, 2, :].astype(jnp.float32)[:, None]  # (PB, 1)
+
+    yf = pidx_ref[0, 0, :][:, None]  # y_floor * S
+    yc = pidx_ref[0, 1, :][:, None]  # y_ceil * S
+    zf = pidx_ref[0, 2, :][:, None]
+    zc = pidx_ref[0, 3, :][:, None]
+
+    q_iota = jax.lax.broadcasted_iota(jnp.int32, (pb, plane), 1)
+    w_yz = (
+        (q_iota == (yf + zf)).astype(jnp.float32) * ((1 - dy) * (1 - dz))
+        + (q_iota == (yc + zf)).astype(jnp.float32) * (dy * (1 - dz))
+        + (q_iota == (yf + zc)).astype(jnp.float32) * ((1 - dy) * dz)
+        + (q_iota == (yc + zc)).astype(jnp.float32) * (dy * dz)
+    )
+    return w_yz, dx
+
+
+def _rotate_kernel_full(
+    grid_ref, pidx_ref, sidx_ref, frac_ref, out_ref, acc_ref, *, size: int
+):
     plane = size * size
     pb = out_ref.shape[1]
     dtype = out_ref.dtype
 
-    dx = frac_ref[0, 0, :].astype(jnp.float32)[:, None]
-    dy = frac_ref[0, 1, :].astype(jnp.float32)[:, None]
-    dz = frac_ref[0, 2, :].astype(jnp.float32)[:, None]  # (PB, 1)
+    w_yz_f32, dx = _bilinear_plane_weights(pidx_ref, frac_ref, pb, plane)
+    w_yz = w_yz_f32.astype(dtype)
 
-    xf = xyidx_ref[0, 0, :][:, None]  # x_floor * S
-    xc = xyidx_ref[0, 1, :][:, None]  # x_ceil * S
-    yf = xyidx_ref[0, 2, :][:, None]
-    yc = xyidx_ref[0, 3, :][:, None]
+    x_floor = sidx_ref[0, 0, :][:, None]  # (PB, 1)
+    x_ceil = sidx_ref[0, 1, :][:, None]
+    smin = jnp.min(sidx_ref[0, 0, :])
+    smax = jnp.max(sidx_ref[0, 1, :])
 
-    q_iota = jax.lax.broadcasted_iota(jnp.int32, (pb, plane), 1)
-    w_xy = (
-        (q_iota == (xf + yf)).astype(jnp.float32) * ((1 - dx) * (1 - dy))
-        + (q_iota == (xc + yf)).astype(jnp.float32) * (dx * (1 - dy))
-        + (q_iota == (xf + yc)).astype(jnp.float32) * ((1 - dx) * dy)
-        + (q_iota == (xc + yc)).astype(jnp.float32) * (dx * dy)
-    ).astype(dtype)
-
-    z_floor = zidx_ref[0, 0, :][:, None]  # (PB, 1)
-    z_ceil = zidx_ref[0, 1, :][:, None]
-
-    acc = jnp.zeros((pb, out_ref.shape[2]), jnp.float32)
+    acc_ref[...] = jnp.zeros_like(acc_ref)
     for s in range(size):
-        slice_s = grid_ref[0, :, s, :]  # (S^2, C)
-        sampled = jnp.dot(w_xy, slice_s, preferred_element_type=jnp.float32)
-        w_z = (z_floor == s).astype(jnp.float32) * (1 - dz) + (
-            z_ceil == s
-        ).astype(jnp.float32) * dz
-        acc = acc + sampled * w_z
-    out_ref[0, :, :] = acc.astype(dtype)
+
+        def contribute(s=s):
+            slab_s = grid_ref[0, s, :, :]  # (S^2, C)
+            sampled = jnp.dot(w_yz, slab_s, preferred_element_type=jnp.float32)
+            w_x = (x_floor == s).astype(jnp.float32) * (1 - dx) + (
+                x_ceil == s
+            ).astype(jnp.float32) * dx
+            acc_ref[...] += sampled * w_x
+
+        pl.when(jnp.logical_and(s >= smin, s <= smax))(contribute)
+    out_ref[0, :, :] = acc_ref[...].astype(dtype)
 
 
-def _rotate_kernel_grad_grid(ct_ref, xyidx_ref, zidx_ref, frac_ref, out_ref, *, size: int):
+def _rotate_kernel_grad_grid(ct_ref, pidx_ref, sidx_ref, frac_ref, out_ref, *, size: int):
     """Transpose of the forward kernel: accumulate
-    grad_grid[b, q, s, c] = sum_p Wxy[b, p, q] * Wz[b, p, s] * ct[b, p, c]
+    grad_grid[b, s, q, c] = sum_p Wyz[b, p, q] * Wx[b, p, s] * ct[b, p, c]
     over the point blocks.  The output block (the sample's whole volume) is
-    revisited across the p grid dimension and accumulated in VMEM."""
+    revisited across the p grid dimension and accumulated in VMEM.  The same
+    per-block [smin, smax] slab band skips x-slabs no point in the block
+    touches (their contribution was an exact zero)."""
     plane = size * size
     pb = ct_ref.shape[1]
     dtype = out_ref.dtype
@@ -77,40 +109,31 @@ def _rotate_kernel_grad_grid(ct_ref, xyidx_ref, zidx_ref, frac_ref, out_ref, *, 
     def _():
         out_ref[...] = jnp.zeros_like(out_ref)
 
-    dx = frac_ref[0, 0, :].astype(jnp.float32)[:, None]
-    dy = frac_ref[0, 1, :].astype(jnp.float32)[:, None]
-    dz = frac_ref[0, 2, :].astype(jnp.float32)[:, None]
+    w_yz, dx = _bilinear_plane_weights(pidx_ref, frac_ref, pb, plane)
 
-    xf = xyidx_ref[0, 0, :][:, None]
-    xc = xyidx_ref[0, 1, :][:, None]
-    yf = xyidx_ref[0, 2, :][:, None]
-    yc = xyidx_ref[0, 3, :][:, None]
-
-    q_iota = jax.lax.broadcasted_iota(jnp.int32, (pb, plane), 1)
-    w_xy = (
-        (q_iota == (xf + yf)).astype(jnp.float32) * ((1 - dx) * (1 - dy))
-        + (q_iota == (xc + yf)).astype(jnp.float32) * (dx * (1 - dy))
-        + (q_iota == (xf + yc)).astype(jnp.float32) * ((1 - dx) * dy)
-        + (q_iota == (xc + yc)).astype(jnp.float32) * (dx * dy)
-    )
-
-    z_floor = zidx_ref[0, 0, :][:, None]
-    z_ceil = zidx_ref[0, 1, :][:, None]
+    x_floor = sidx_ref[0, 0, :][:, None]
+    x_ceil = sidx_ref[0, 1, :][:, None]
+    smin = jnp.min(sidx_ref[0, 0, :])
+    smax = jnp.max(sidx_ref[0, 1, :])
     ct = ct_ref[0, :, :].astype(jnp.float32)  # (PB, C)
 
     for s in range(size):
-        w_z = (z_floor == s).astype(jnp.float32) * (1 - dz) + (
-            z_ceil == s
-        ).astype(jnp.float32) * dz
-        weighted_ct = ct * w_z  # (PB, C)
-        contribution = jnp.dot(
-            w_xy.T, weighted_ct, preferred_element_type=jnp.float32
-        )  # (S^2, C)
-        out_ref[0, :, s, :] += contribution.astype(dtype)
+
+        def contribute(s=s):
+            w_x = (x_floor == s).astype(jnp.float32) * (1 - dx) + (
+                x_ceil == s
+            ).astype(jnp.float32) * dx
+            weighted_ct = ct * w_x  # (PB, C)
+            contribution = jnp.dot(
+                w_yz.T, weighted_ct, preferred_element_type=jnp.float32
+            )  # (S^2, C)
+            out_ref[0, s, :, :] += contribution.astype(dtype)
+
+        pl.when(jnp.logical_and(s >= smin, s <= smax))(contribute)
 
 
 @functools.partial(jax.jit, static_argnames=("size", "point_block"))
-def _rotate_grad_grid(ct: jax.Array, xyidx, zidx, frac, size: int = 16,
+def _rotate_grad_grid(ct: jax.Array, pidx, sidx, frac, size: int = 16,
                       point_block: int = 1024) -> jax.Array:  # bwd revisits the out block; 1024 profiles best
     batch, num_points, channels = ct.shape
     pb = min(point_block, num_points)
@@ -125,11 +148,23 @@ def _rotate_grad_grid(ct: jax.Array, xyidx, zidx, frac, size: int = 16,
             pl.BlockSpec((1, 3, pb), lambda b, p: (b, 0, p), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, size * size, size, channels), lambda b, p: (b, 0, 0, 0),
+            (1, size, size * size, channels), lambda b, p: (b, 0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((batch, size * size, size, channels), ct.dtype),
-    )(ct, xyidx, zidx, frac)
+        out_shape=jax.ShapeDtypeStruct((batch, size, size * size, channels), ct.dtype),
+    )(ct, pidx, sidx, frac)
+
+
+def _pack_point_inputs(f, c, d, size: int):
+    """Index/weight arrays the kernels consume, in (B, K, P) layout.
+
+    The plane one-hot runs over (y, z) — grid axes 1/2, q = y*S + z — and
+    the slab loop over x (grid axis 0); see the module docstring for why.
+    """
+    pidx = jnp.stack([f[:, 1] * size, c[:, 1] * size, f[:, 2], c[:, 2]], axis=1)
+    sidx = jnp.stack([f[:, 0], c[:, 0]], axis=1)
+    frac = jnp.stack([d[:, 1], d[:, 2], d[:, 0]], axis=1).astype(jnp.float32)
+    return pidx, sidx, frac
 
 
 @jax.custom_vjp
@@ -159,12 +194,10 @@ def _rotate_fused_bwd(transform, ct):
 
     # _source_coords only reads the grid's shape/dtype (lattice construction)
     f, c, d = _source_coords(jnp.zeros(grid_shape, grid_dtype), transform)
-    xyidx = jnp.stack([f[:, 0] * size, c[:, 0] * size, f[:, 1], c[:, 1]], axis=1)
-    zidx = jnp.stack([f[:, 2], c[:, 2]], axis=1)
-    frac = d.astype(jnp.float32)  # weights stay full precision
+    pidx, sidx, frac = _pack_point_inputs(f, c, d, size)
 
     ct_flat = jnp.reshape(ct, (batch, num_points, channels))
-    grad_g = _rotate_grad_grid(ct_flat, xyidx, zidx, frac, size=size)
+    grad_g = _rotate_grad_grid(ct_flat, pidx, sidx, frac, size=size)
     grad_grid = jnp.reshape(grad_g, grid_shape)
     return grad_grid, jnp.zeros_like(transform)
 
@@ -178,7 +211,8 @@ def rotate_3d_grid_pallas(grid: jax.Array, transform: jax.Array, point_block: in
     kernel.  Same interpolation contract (clamped borders, trilinear).
 
     point_block=2048 measures ~6% faster for bf16 C=128 volumes but fails
-    to compile for f32 shapes on this toolchain; 1024 is the safe default.
+    to compile for f32 shapes on this toolchain; 1024 is the safe default
+    (and its 4-wide output-x windows give the tightest slab bounds).
     """
     from confignet_tpu.core.transforms import _source_coords
 
@@ -189,21 +223,18 @@ def rotate_3d_grid_pallas(grid: jax.Array, transform: jax.Array, point_block: in
     assert num_points % pb == 0
 
     f, c, d = _source_coords(grid, transform)
+    pidx, sidx, frac = _pack_point_inputs(f, c, d, size)
 
-    xyidx = jnp.stack(
-        [f[:, 0] * size, c[:, 0] * size, f[:, 1], c[:, 1]], axis=1
-    )  # (B, 4, P)
-    zidx = jnp.stack([f[:, 2], c[:, 2]], axis=1)  # (B, 2, P)
-    frac = d.astype(jnp.float32)  # weights stay full precision  # (B, 3, P)
-
-    g = jnp.reshape(grid, (batch, size * size, size, channels))
+    # Native x-slab layout: rows within a slab are the contiguous (y, z)
+    # plane — no transpose needed.
+    g = jnp.reshape(grid, (batch, size, size * size, channels))
 
     kernel = functools.partial(_rotate_kernel_full, size=size)
     out = pl.pallas_call(
         kernel,
         grid=(batch, num_points // pb),
         in_specs=[
-            pl.BlockSpec((1, size * size, size, channels), lambda b, p: (b, 0, 0, 0),
+            pl.BlockSpec((1, size, size * size, channels), lambda b, p: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 4, pb), lambda b, p: (b, 0, p), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 2, pb), lambda b, p: (b, 0, p), memory_space=pltpu.VMEM),
@@ -212,6 +243,7 @@ def rotate_3d_grid_pallas(grid: jax.Array, transform: jax.Array, point_block: in
         out_specs=pl.BlockSpec((1, pb, channels), lambda b, p: (b, p, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((batch, num_points, channels), grid.dtype),
-    )(g, xyidx, zidx, frac)
+        scratch_shapes=[pltpu.VMEM((pb, channels), jnp.float32)],
+    )(g, pidx, sidx, frac)
 
     return jnp.reshape(out, grid.shape)
