@@ -58,9 +58,14 @@ class BatchPrefetcher:
                         continue
         except BaseException as exc:  # surfaced to the consumer in next()
             self._error = exc
+            self._stop.set()  # no live producer remains; next() must not block
             self._queue.put(self._SENTINEL)
 
     def next(self) -> Any:
+        if self._error is not None:
+            # Re-raise on every call after the worker died — a second next()
+            # would otherwise block forever on an empty queue.
+            raise self._error
         if self._stop.is_set():
             raise RuntimeError("BatchPrefetcher is closed")
         item = self._queue.get()

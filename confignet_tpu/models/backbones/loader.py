@@ -127,9 +127,21 @@ def load_keras_h5_ordered(params: Dict[str, Any], h5_path: str,
         ]
         weighted = [n for n in layer_names
                     if len(root[n].attrs.get("weight_names", []))]
-        if all(re.fullmatch(r"(conv2d|batch_normalization)(_\d+)?", n)
-               for n in weighted):
+        counter_named = [
+            bool(re.fullmatch(r"(conv2d|batch_normalization)(_\d+)?", n))
+            for n in weighted
+        ]
+        if counter_named and all(counter_named):
             layer_names = sorted(layer_names, key=creation_index)
+        elif any(counter_named):
+            # Mixed naming: topological file order would silently scramble
+            # parallel branches while still passing the layer-count checks.
+            raise ValueError(
+                "h5 mixes counter-style layer names "
+                f"({[n for n, c in zip(weighted, counter_named) if c][:3]}...) "
+                "with semantic names — creation order is ambiguous; "
+                "rename the layers or load with explicit per-layer paths"
+            )
         for layer_name in layer_names:
             group = root[layer_name]
             weight_names = [

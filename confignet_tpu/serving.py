@@ -147,23 +147,33 @@ class ConfigNetServer:
         value = np.asarray(param_value, np.float32)
         if value.ndim == 1:
             value = value[np.newaxis]
-        value_dev = jnp.asarray(value)
+        if value.shape[0] not in (1, images.shape[0]):
+            raise ValueError(
+                f"param_value batch dim {value.shape[0]} must be 1 (broadcast) "
+                f"or match the image batch {images.shape[0]}"
+            )
+        # A per-image value batch must be chunked alongside the images;
+        # only a single broadcast row may ride through ``extra`` verbatim.
+        per_image = value.shape[0] == images.shape[0] and images.shape[0] != 1
+        value_args = ([value], ()) if per_image else ([], (jnp.asarray(value),))
+        key_tag = "per_image" if per_image else value.shape
 
         if rotations is None:
-            def pipeline(imgs, value):
+            def pipeline(imgs, *rest):
                 latents, rots = self._encode(imgs)
-                return self._generate(self._splice(latents, param_name, value), rots)
+                return self._generate(self._splice(latents, param_name, rest[-1]), rots)
 
-            return self._chunked(("pipe", param_name, value.shape), pipeline,
-                                 [images], extra=(value_dev,))
+            return self._chunked(("pipe", param_name, key_tag), pipeline,
+                                 [images] + value_args[0], extra=value_args[1])
 
-        def pipeline(imgs, rots, value):
+        def pipeline(imgs, rots, *rest):
             latents, _ = self._encode(imgs)
-            return self._generate(self._splice(latents, param_name, value), rots)
+            return self._generate(self._splice(latents, param_name, rest[-1]), rots)
 
         return self._chunked(
-            ("pipe_rot", param_name, value.shape), pipeline,
-            [images, np.asarray(rotations, np.float32)], extra=(value_dev,),
+            ("pipe_rot", param_name, key_tag), pipeline,
+            [images, np.asarray(rotations, np.float32)] + value_args[0],
+            extra=value_args[1],
         )
 
     def sample(self, n: int, rotations: Optional[np.ndarray] = None,

@@ -161,6 +161,10 @@ class ConfigNetFirstStage:
         self.n_checkpoint_samples = 10
 
         self.keychain = KeyChain(self.config.get("seed", 0))
+        # Owned by the prefetch thread (_sample_host_batch); seeded from the
+        # global stream so initialize_random_seed still governs it, but
+        # isolated so main-thread np.random use can't shift batch order.
+        self._batch_rng = np.random.RandomState(np.random.randint(0, 2**31))
         self.facemodel_param_distributions = None
         self.mesh = None
         self.log_writer: Optional[TensorBoardWriter] = None
@@ -512,7 +516,11 @@ class ConfigNetFirstStage:
     def _sample_host_batch(self, real_training_set, synth_training_set) -> Dict[str, Any]:
         from confignet_tpu.runtime import gather_images, gather_rows
 
-        rng = np.random
+        # Runs on the prefetch thread: use a dedicated RandomState (seeded
+        # from the global stream at trainer construction) so concurrent
+        # checkpoint-time np.random use on the main thread cannot perturb
+        # the batch order — run-to-run batch sequences stay reproducible.
+        rng = self._batch_rng
         batch_size = self.config["batch_size"]
         n_synth = batch_size // 2
 
