@@ -24,12 +24,17 @@ def _golden_path(name):
 
 def _check_or_save(name, **arrays):
     path = _golden_path(name)
-    if SAVE or not os.path.exists(path):
+    if SAVE:
         os.makedirs(GOLDEN_DIR, exist_ok=True)
         np.savez(path, **arrays)
-        if not SAVE:
-            pytest.skip(f"golden {name} regenerated; rerun to compare")
         return
+    if not os.path.exists(path):
+        # A deleted/corrupted golden must FAIL, not silently regenerate —
+        # regeneration is an explicit act (CONFIGNET_TPU_SAVE_GOLDENS=1).
+        pytest.fail(
+            f"golden {name} is missing; regenerate deliberately with "
+            "CONFIGNET_TPU_SAVE_GOLDENS=1"
+        )
     with np.load(path) as ref:
         for key, value in arrays.items():
             np.testing.assert_allclose(
@@ -80,6 +85,29 @@ def test_confignet_finetune_golden(confignet_model):
 
     _check_or_save(
         "confignet_finetune",
+        embedding=embedding,
+        rotation=rotation,
+        decoded_image=decoded.astype(np.float32),
+    )
+
+
+@pytest.mark.slow
+def test_confignet_512_golden():
+    """512px fine-tune + generate, pinned (the reference parametrizes its
+    goldens over 256/512 — tests/inference_test.py:23-75; the 512 path adds
+    the map_2d_2b/2c blocks, so it needs its own golden)."""
+    from confignet_tpu.training.second_stage import ConfigNet
+
+    model = ConfigNet(
+        dict(TINY_FIRST_STAGE_CONFIG, output_shape=(512, 512, 3), seed=9)
+    )
+    rng = np.random.default_rng(2)
+    img = rng.integers(0, 256, (512, 512, 3), dtype=np.uint8)
+    embedding, rotation = model.fine_tune_on_img(img, n_iters=1)
+    decoded = model.generate_images(embedding, rotation)
+
+    _check_or_save(
+        "confignet_finetune_512",
         embedding=embedding,
         rotation=rotation,
         decoded_image=decoded.astype(np.float32),
