@@ -4,19 +4,22 @@
 #   tf_parity   cross-framework parity vs the TensorFlow reference
 #   tpu         needs real TPU hardware (CONFIGNET_TPU_TEST_PLATFORM=tpu)
 
-.PHONY: test-fast test-slow test-all test-parity test-tpu bench bench-train lint
+.PHONY: test-fast test-slow test-all test-parity test-tpu test-pretrained bench bench-train lint
 
 test-tpu:
 	CONFIGNET_TPU_TEST_PLATFORM=tpu python -m pytest tests/test_pallas_tpu.py -q
 
 test-fast:
-	python -m pytest tests/ -q -m "not slow and not tpu"
+	python -m pytest tests/ -q -m "not slow and not tpu and not pretrained"
 
 test-slow:
-	python -m pytest tests/ -q -m "slow"
+	python -m pytest tests/ -q -m "slow and not pretrained"
 
 test-all:
-	python -m pytest tests/ -q -m "not tpu"
+	python -m pytest tests/ -q -m "not tpu and not pretrained"
+
+test-pretrained:
+	python -m pytest tests/test_pretrained.py -m pretrained -v
 
 test-parity:
 	python -m pytest tests/test_tf_parity.py -q

@@ -281,3 +281,32 @@ def load_reference_confignet(json_path: str):
 
     model.set_weights(weights)
     return model
+
+
+def load_reference_latent_gan(json_path: str):
+    """Build a LatentGAN from a reference-format checkpoint (json + npz of
+    Keras weight lists; format: /root/reference/confignet/latent_gan.py:48-81
+    — keys generator_weights / smoothed_generator_weights /
+    discriminator_weights, MLPSimple stacks of ``num_mlp_layers`` Dense
+    layers)."""
+    import os
+
+    from confignet_tpu.training.latent_gan import LatentGAN
+
+    with open(json_path, "r") as fp:
+        config = json.load(fp)
+    gan = LatentGAN(config)
+    data = np.load(os.path.splitext(json_path)[0] + ".npz", allow_pickle=True)
+
+    paths = mlp_weight_paths(gan.config["num_mlp_layers"])
+    weights = gan.get_weights()
+    weights["generator"] = assign_weight_list(
+        weights["generator"], data["generator_weights"], paths, "latentgan_generator")
+    weights["generator_smoothed"] = assign_weight_list(
+        weights["generator_smoothed"], data["smoothed_generator_weights"], paths,
+        "latentgan_generator_smoothed")
+    weights["discriminator"] = assign_weight_list(
+        weights["discriminator"], data["discriminator_weights"], paths,
+        "latentgan_discriminator")
+    gan.set_weights(weights)
+    return gan

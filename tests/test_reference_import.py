@@ -149,3 +149,52 @@ def test_path_tables_cover_tiny_models(tiny_model):
         assert len(real_paths) == len(flat), name
         for p in real_paths:
             assert p in flat, (name, p)
+
+
+def test_latent_gan_reference_roundtrip(tmp_path):
+    """Write a LatentGAN checkpoint in the REFERENCE npz format (Keras
+    weight-list object arrays, keys from latent_gan.py:67-81) and reload it
+    via load_reference_latent_gan."""
+    import json
+
+    from confignet_tpu.core.reference_import import (
+        load_reference_latent_gan,
+        mlp_weight_paths,
+    )
+    from confignet_tpu.training.latent_gan import LatentGAN
+    from flax import traverse_util
+
+    gan = LatentGAN({"latent_dim": 12, "seed": 3})
+    weights = gan.get_weights()
+    paths = mlp_weight_paths(gan.config["num_mlp_layers"])
+
+    def as_keras_list(params, shift):
+        flat = {
+            tuple(k for k in path): v
+            for path, v in traverse_util.flatten_dict(params).items()
+        }
+        arr = np.empty(len(paths), dtype=object)
+        arr[:] = [np.asarray(flat[p]) + shift for p in paths]
+        return arr
+
+    np.savez(
+        tmp_path / "model.npz",
+        generator_weights=as_keras_list(weights["generator"], 1.0),
+        smoothed_generator_weights=as_keras_list(weights["generator_smoothed"], 2.0),
+        discriminator_weights=as_keras_list(weights["discriminator"], 3.0),
+    )
+    with open(tmp_path / "model.json", "w") as fp:
+        json.dump({"latent_dim": 12, "seed": 3}, fp)
+
+    imported = load_reference_latent_gan(str(tmp_path / "model.json"))
+    got = imported.get_weights()
+    for name, shift in (("generator", 1.0), ("generator_smoothed", 2.0),
+                        ("discriminator", 3.0)):
+        flat_orig = traverse_util.flatten_dict(weights[name])
+        flat_new = traverse_util.flatten_dict(got[name])
+        assert set(flat_orig) == set(flat_new)
+        for path in flat_orig:
+            np.testing.assert_allclose(
+                np.asarray(flat_new[path]), np.asarray(flat_orig[path]) + shift,
+                atol=1e-6,
+            )
