@@ -81,6 +81,44 @@ def _time_chained_steps(step, state, make_args, n_iters, fetch_loss):
     return state, time.perf_counter() - start
 
 
+def _timed_train_steps(model, ds, step, model_args, n_iters):
+    """Time n_iters donated train steps, returning (steps/s, staged).
+
+    Measures the same overlapped path the train loop runs: batch sampling +
+    host->device staging on a background thread (data/prefetch.py).  With
+    BENCH_STAGED=1, batches are pre-staged on device and reused so the
+    number is the pure device step time (what a co-located TPU host sees —
+    the axon tunnel's ~60 MB/s host->device path otherwise floors it).
+    """
+    import jax
+
+    from confignet_tpu.data.prefetch import BatchPrefetcher
+
+    fetch = lambda l: float(jax.device_get(l["g"]["loss_sum"]))
+    staged = os.environ.get("BENCH_STAGED") == "1"
+    if staged:
+        batches = [jax.device_put(model._sample_host_batch(ds, ds)) for _ in range(3)]
+        jax.block_until_ready(batches)
+
+        def make_args(i=[0]):
+            i[0] += 1
+            return (model.keychain.next(), batches[i[0] % len(batches)], *model_args)
+
+        state, losses = step(model.state, *make_args())
+        fetch(losses)
+        _, elapsed = _time_chained_steps(step, state, make_args, n_iters, fetch)
+    else:
+        with BatchPrefetcher(lambda: model._sample_host_batch(ds, ds)) as pf:
+            def make_args():
+                return (model.keychain.next(), pf.next(), *model_args)
+
+            # compile + warm
+            state, losses = step(model.state, *make_args())
+            fetch(losses)
+            _, elapsed = _time_chained_steps(step, state, make_args, n_iters, fetch)
+    return n_iters / elapsed, staged
+
+
 def bench_stage1(results, dtype_name, n_iters=10):
     import jax
 
@@ -96,42 +134,7 @@ def bench_stage1(results, dtype_name, n_iters=10):
     step = model._build_train_step()
     vgg = model.perceptual_loss.variables["params"]
 
-    # Measure the same overlapped path the train loop runs: batch sampling +
-    # host->device staging on a background thread (data/prefetch.py).  With
-    # BENCH_STAGED=1, batches are pre-staged on device and reused so the
-    # number is the pure device step time (what a co-located TPU host sees —
-    # the axon tunnel's ~60 MB/s host->device path otherwise floors it).
-    from confignet_tpu.data.prefetch import BatchPrefetcher
-
-    staged = os.environ.get("BENCH_STAGED") == "1"
-    if staged:
-        batches = [jax.device_put(model._sample_host_batch(ds, ds)) for _ in range(3)]
-        jax.block_until_ready(batches)
-
-        def make_args(i=[0]):
-            i[0] += 1
-            return (model.keychain.next(), batches[i[0] % len(batches)], vgg)
-
-        state, losses = step(model.state, *make_args())
-        float(jax.device_get(losses["g"]["loss_sum"]))
-        state, elapsed = _time_chained_steps(
-            step, state, make_args, n_iters,
-            lambda l: float(jax.device_get(l["g"]["loss_sum"])),
-        )
-    else:
-        with BatchPrefetcher(lambda: model._sample_host_batch(ds, ds)) as pf:
-            def make_args():
-                return (model.keychain.next(), pf.next(), vgg)
-
-            # compile + warm
-            state, losses = step(model.state, *make_args())
-            float(jax.device_get(losses["g"]["loss_sum"]))
-
-            state, elapsed = _time_chained_steps(
-                step, state, make_args, n_iters,
-                lambda l: float(jax.device_get(l["g"]["loss_sum"])),
-            )
-    steps_per_sec = n_iters / elapsed
+    steps_per_sec, staged = _timed_train_steps(model, ds, step, (vgg,), n_iters)
     suffix = "" if cfg["batch_size"] == 24 else f"_b{cfg['batch_size']}"
     suffix += "_staged" if staged else ""
     _emit(results, f"stage1_train_step_{dtype_name}{suffix}", steps_per_sec, "steps/s",
@@ -156,21 +159,9 @@ def bench_stage2(results, dtype_name, n_iters=10):
     vgg = model.perceptual_loss.variables["params"]
     vggface = model.perceptual_loss_face_reco.variables["params"]
 
-    from confignet_tpu.data.prefetch import BatchPrefetcher
-
-    with BatchPrefetcher(lambda: model._sample_host_batch(ds, ds)) as pf:
-        def make_args():
-            return (model.keychain.next(), pf.next(), vgg, vggface)
-
-        state, losses = step(model.state, *make_args())
-        float(jax.device_get(losses["g"]["loss_sum"]))
-
-        state, elapsed = _time_chained_steps(
-            step, state, make_args, n_iters,
-            lambda l: float(jax.device_get(l["g"]["loss_sum"])),
-        )
-    steps_per_sec = n_iters / elapsed
+    steps_per_sec, staged = _timed_train_steps(model, ds, step, (vgg, vggface), n_iters)
     suffix = "" if cfg["batch_size"] == 24 else f"_b{cfg['batch_size']}"
+    suffix += "_staged" if staged else ""
     _emit(results, f"stage2_train_step_{dtype_name}{suffix}", steps_per_sec, "steps/s",
           batch=cfg["batch_size"],
           imgs_per_sec=round(steps_per_sec * cfg["batch_size"], 1))
