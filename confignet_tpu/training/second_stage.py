@@ -581,7 +581,7 @@ class ConfigNet(ConfigNetFirstStage):
     # ------------------------------------------------------------------
 
     def fine_tune_on_img(self, input_images, n_iters: int = 50, img_output_dir=None,
-                         force_neutral_expression: bool = False):
+                         force_neutral_expression: bool = False, mesh=None):
         input_images = np.asarray(input_images)
         if input_images.dtype == np.uint8:
             input_images = input_images / 127.5 - 1.0
@@ -625,6 +625,30 @@ class ConfigNet(ConfigNetFirstStage):
         regressor_params = self.state.generator.params["latent_regressor"]
         vgg_params = self.perceptual_loss.variables["params"]
         vggface_params = self.perceptual_loss_face_reco.variables["params"]
+
+        if mesh is not None:
+            # Data-parallel fine-tuning over a device mesh: the image batch
+            # (and its per-image expr/rotation variables) shard on the data
+            # axis, everything else replicates; GSPMD inserts the psums.
+            if n_imgs % mesh.size != 0:
+                raise ValueError(
+                    f"fine-tune batch {n_imgs} must divide over {mesh.size} devices"
+                )
+            from confignet_tpu.parallel import replicate, shard_batch
+
+            images_dev = shard_batch(mesh, input_images)
+            sharded = {"expr", "rotations"} if n_imgs > 1 else set()
+            opt_vars = {
+                k: (shard_batch(mesh, v) if k in sharded else replicate(mesh, v))
+                for k, v in opt_vars.items()
+            }
+            opt_state = tx.init(opt_vars)  # re-init on the replicated vars
+            disc_params, latent_disc_params, regressor_params, vgg_params, \
+                vggface_params = (
+                    replicate(mesh, p)
+                    for p in (disc_params, latent_disc_params, regressor_params,
+                              vgg_params, vggface_params)
+                )
 
         if img_output_dir is not None:
             os.makedirs(img_output_dir, exist_ok=True)
