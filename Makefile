@@ -1,5 +1,6 @@
 # Developer entry points.  The test suite is split with pytest markers:
-#   (default)   fast signal — no fused-trainer compiles, < ~5 min on 1 CPU
+#   (default)   fast signal — no fused-trainer compiles, < 5 min on 1 CPU
+#               (warm init/XLA caches; ~7 min on the first run after an edit)
 #   slow        trainer/mesh/CLI compiles and big-model TF parity
 #   tf_parity   cross-framework parity vs the TensorFlow reference
 #   tpu         needs real TPU hardware (CONFIGNET_TPU_TEST_PLATFORM=tpu)

@@ -51,7 +51,11 @@ class PerceptualLoss:
         taps = tuple(taps) if taps is not None else settings["taps"]
         self.module = VGGFeatures(arch=settings["arch"], taps=taps, dtype=dtype)
         dummy = jnp.zeros((1,) + self.input_shape, dtype=jnp.float32)
-        self.variables = self.module.init(jax.random.PRNGKey(settings["seed"]), dummy)
+        from confignet_tpu.core.init_cache import cached_init
+
+        self.variables = cached_init(
+            self.module, jax.random.PRNGKey(settings["seed"]), dummy
+        )
 
     def load_keras_weights(self, h5_path: str) -> None:
         from confignet_tpu.models.backbones.loader import load_keras_h5_weights

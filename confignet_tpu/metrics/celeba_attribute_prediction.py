@@ -79,8 +79,10 @@ class CelebaAttributeClassifier:
     def initialize_dnn(self) -> None:
         self.module = _ClassifierNet(n_attributes=len(self.config["predicted_attributes"]))
         dummy = jnp.zeros((1, *self.config["input_shape"]), jnp.float32)
-        self.variables = jax.jit(lambda k, x: self.module.init(k, x, train=False))(
-            self.keychain.next(), dummy
+        from confignet_tpu.core.init_cache import cached_init
+
+        self.variables = cached_init(
+            self.module, self.keychain.next(), dummy, train=False
         )
         self.tx = optax.adam(self.config["optimizer"].get("lr", 1e-3), eps=1e-7)
         self.opt_state = self.tx.init(self.variables["params"])

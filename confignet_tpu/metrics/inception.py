@@ -29,7 +29,9 @@ class InceptionFeatureExtractor:
         self.input_shape = tuple(input_shape)
         self.module = InceptionV3(dtype=dtype)
         dummy = jnp.zeros((1,) + self.input_shape, jnp.float32)
-        self.variables = jax.jit(self.module.init)(jax.random.PRNGKey(1946), dummy)
+        from confignet_tpu.core.init_cache import cached_init
+
+        self.variables = cached_init(self.module, jax.random.PRNGKey(1946), dummy)
         self._fn = jax.jit(
             lambda p, x: self.module.apply({"params": p}, inception_preprocess(x)).astype(
                 jnp.float32

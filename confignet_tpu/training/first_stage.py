@@ -282,15 +282,16 @@ class ConfigNetFirstStage:
             for _, dims in self.facemodel_inputs_tuple
         ]
 
+        from confignet_tpu.core.init_cache import cached_init
+
         key = self.keychain.next()
         keys = jax.random.split(key, 6)
-        init = jax.jit(lambda m, k, *a: m.init(k, *a), static_argnums=0)
-        gen_params = init(self.generator_module, keys[0], z1, rot1)["params"]
-        disc_params = init(self.discriminator_module, keys[1], img1)["params"]
-        synth_disc_params = init(self.synth_discriminator_module, keys[2], img1)["params"]
-        latent_disc_params = init(self.latent_discriminator_module, keys[3], z1)["params"]
-        regressor_params = init(self.latent_regressor_module, keys[4], img1)["params"]
-        synth_enc_params = self.synthetic_encoder_module.init(keys[5], facemodel1)["params"]
+        gen_params = cached_init(self.generator_module, keys[0], z1, rot1)["params"]
+        disc_params = cached_init(self.discriminator_module, keys[1], img1)["params"]
+        synth_disc_params = cached_init(self.synth_discriminator_module, keys[2], img1)["params"]
+        latent_disc_params = cached_init(self.latent_discriminator_module, keys[3], z1)["params"]
+        regressor_params = cached_init(self.latent_regressor_module, keys[4], img1)["params"]
+        synth_enc_params = cached_init(self.synthetic_encoder_module, keys[5], facemodel1)["params"]
 
         generator_player_params = {
             "generator": gen_params,

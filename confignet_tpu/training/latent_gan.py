@@ -93,8 +93,10 @@ class LatentGAN:
         z1 = jnp.zeros((1, latent_dim), jnp.float32)
         key = self.keychain.next()
         kg, kd = jax.random.split(key)
-        g_params = self.generator_module.init(kg, z1)["params"]
-        d_params = self.discriminator_module.init(kd, z1)["params"]
+        from confignet_tpu.core.init_cache import cached_init
+
+        g_params = cached_init(self.generator_module, kg, z1)["params"]
+        d_params = cached_init(self.discriminator_module, kd, z1)["params"]
         self.state = LatentGANState(
             generator=Player.create(g_params, self.tx),
             discriminator=Player.create(d_params, self.tx),

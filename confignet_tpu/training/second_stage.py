@@ -72,7 +72,9 @@ class ConfigNet(ConfigNetFirstStage):
             dtype=self.compute_dtype,
         )
         img1 = jnp.zeros((1, *self.config["output_shape"]), jnp.float32)
-        enc_params = jax.jit(self.encoder_module.init)(self.keychain.next(), img1)["params"]
+        from confignet_tpu.core.init_cache import cached_init
+
+        enc_params = cached_init(self.encoder_module, self.keychain.next(), img1)["params"]
 
         # ImageNet ResNet50 trunk when available (the reference encoder
         # starts from pretrained ResNet50, real_encoder.py:13).

@@ -46,7 +46,11 @@ class Player(struct.PyTreeNode):
 
     @classmethod
     def create(cls, params: Any, tx: optax.GradientTransformation) -> "Player":
-        return cls(params=params, opt_state=tx.init(params))
+        # jit the optimizer-state init: eagerly it dispatches one tiny
+        # zeros_like per param leaf (hundreds of host round trips); as one
+        # compiled program it is a single dispatch and the compilation
+        # persists in the JAX compilation cache.
+        return cls(params=params, opt_state=jax.jit(tx.init)(params))
 
     def apply_gradients(self, grads: Any, tx: optax.GradientTransformation) -> "Player":
         updates, new_opt_state = tx.update(grads, self.opt_state, self.params)

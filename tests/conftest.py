@@ -7,6 +7,10 @@ import os
 os.environ.setdefault("TF_USE_LEGACY_KERAS", "1")
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+# Memoize deterministic Module.init results on disk (keyed by a hash of
+# the package source, so any code edit invalidates the cache).  The big
+# backbone inits otherwise dominate the fast suite on this 1-core host.
+os.environ.setdefault("CONFIGNET_TPU_INIT_CACHE", "/tmp/confignet_init_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 flags = os.environ.get("XLA_FLAGS", "")
