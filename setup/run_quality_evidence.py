@@ -38,6 +38,10 @@ def parse_args(argv=None):
     p.add_argument("--r1_heads", default="all", choices=["all", "final"])
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--compute_dtype", default="bfloat16")
+    p.add_argument("--stage2_steps", type=int, default=0,
+                   help="after stage 1, transfer weights into the stage-2 "
+                        "trainer (encoder joins the G player) and train this "
+                        "many steps with the same FID/KID cadence")
     return p.parse_args(argv)
 
 
@@ -89,10 +93,51 @@ def main(argv=None) -> None:
             "d_loss_sum": float(model.d_losses["loss_sum"][-1]),
         },
     }
+    if args.stage2_steps:
+        # Stage 2: same dataset plays the "real" set (reference flow:
+        # train_confignet.py stage 2 consumes a real dataset + the synth
+        # one; confignet_second_stage.py:149-218).  Weights transfer via
+        # the same get/set_weights path the CLI uses.
+        from confignet_tpu.training.second_stage import ConfigNet
+
+        config2 = dict(config)
+        # The CLI multiplies image_loss_weight x10 for stage 2
+        # (apps/train_confignet.py, matching reference train_confignet.py:66).
+        config2["image_loss_weight"] = model.config["image_loss_weight"] * 10
+        model2 = ConfigNet(config2)
+        model2.set_weights(model.get_weights())
+        out2 = os.path.join(out_dir, "stage2")
+        os.makedirs(out2, exist_ok=True)
+        t0 = time.time()
+        model2.train(ds, ds, validation_set=ds, output_dir=out2,
+                     log_dir=os.path.join(out2, "logs"),
+                     n_steps=args.stage2_steps,
+                     n_samples_for_metrics=args.n_samples_for_metrics)
+        wall2 = time.time() - t0
+        trend["stage2"] = {
+            "steps": args.stage2_steps,
+            "wall_seconds": round(wall2, 1),
+            "steps_per_sec": round(args.stage2_steps / wall2, 3),
+            "fid": [round(float(v), 4) for v in model2.metrics.get("fid", [])],
+            "kid": [round(float(v), 6) for v in model2.metrics.get("kid", [])],
+            "perceptual_loss": [
+                round(float(v), 4)
+                for v in model2.metrics.get("perceptual_loss", [])
+            ],
+            "final_losses": {
+                "g_loss_sum": float(model2.g_losses["loss_sum"][-1]),
+                "d_loss_sum": float(model2.d_losses["loss_sum"][-1]),
+            },
+        }
+
     with open(os.path.join(out_dir, "quality_trend.json"), "w") as fp:
         json.dump(trend, fp, indent=2)
     print(json.dumps({k: trend[k] for k in ("steps", "wall_seconds",
                                             "steps_per_sec", "fid", "kid")}))
+    if args.stage2_steps:
+        print(json.dumps({"stage2": {k: trend["stage2"][k] for k in
+                                     ("steps", "wall_seconds", "steps_per_sec",
+                                      "fid", "kid")}}))
 
 
 if __name__ == "__main__":
