@@ -128,6 +128,16 @@ class HologanGenerator(nn.Module):
 
     @nn.compact
     def __call__(self, inputs: LatentInput, rotation: Optional[jax.Array] = None) -> jax.Array:
+        if tuple(self.output_shape[:2]) not in ((128, 128), (256, 256), (512, 512)):
+            # The fixed upsample chain (16px base, 3 doublings + the two
+            # gated extra blocks) can only hit these square sizes; anything
+            # else would silently render at the next size up and fail deep
+            # inside the discriminator with a shape error.
+            raise ValueError(
+                f"output_shape {tuple(self.output_shape)} unsupported: the "
+                "generator renders square 128/256/512 images (reference "
+                "supports 256/512; 128 is the tiny test size)"
+            )
         if isinstance(inputs, dict):
             input_dict = inputs
         else:

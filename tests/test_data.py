@@ -261,4 +261,8 @@ def test_batch_prefetcher_order_and_close():
 
     with _pytest.raises(ValueError, match="boom"):
         pf.next()
+    # every subsequent call re-raises too (a dead worker must never leave
+    # the consumer blocking on an empty queue)
+    with _pytest.raises(ValueError, match="boom"):
+        pf.next()
     pf.close()

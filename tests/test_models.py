@@ -64,6 +64,15 @@ def test_generator_output_shape(resolution, expected_extra):
     assert ("map_2d_2b" in names) == (resolution > 128)
 
 
+@pytest.mark.parametrize("shape", [(64, 64), (96, 96), (256, 128)])
+def test_generator_rejects_unsupported_output_shape(shape):
+    gen = HologanGenerator(latent_dim=LATENT_DIM, output_shape=shape)
+    z = jnp.zeros((1, LATENT_DIM))
+    rot = jnp.zeros((1, 3))
+    with pytest.raises(ValueError, match="output_shape"):
+        gen.init(jax.random.PRNGKey(0), z, rot)
+
+
 def test_generator_latent_list_input():
     gen = HologanGenerator(latent_dim=LATENT_DIM, output_shape=(128, 128))
     z = jnp.zeros((1, LATENT_DIM))

@@ -198,3 +198,26 @@ def test_latent_gan_reference_roundtrip(tmp_path):
                 np.asarray(flat_new[path]), np.asarray(flat_orig[path]) + shift,
                 atol=1e-6,
             )
+
+
+def test_h5_loader_rejects_mixed_layer_naming(tmp_path):
+    """An h5 mixing counter-style names (conv2d_1) with semantic names
+    (block_1_conv) has ambiguous creation order: sorting by counter would
+    misplace the semantic layers, file order would scramble counter-named
+    parallel branches.  The loader must raise, not silently pick one."""
+    import h5py
+
+    from confignet_tpu.models.backbones.loader import load_keras_h5_ordered
+
+    h5_path = tmp_path / "mixed.h5"
+    with h5py.File(h5_path, "w") as f:
+        f.attrs["layer_names"] = [b"conv2d_1", b"block_1_conv"]
+        for name in ("conv2d_1", "block_1_conv"):
+            group = f.create_group(name)
+            weight_name = f"{name}/kernel:0"
+            group.attrs["weight_names"] = [weight_name.encode()]
+            group.create_dataset(
+                weight_name, data=np.zeros((1, 1, 1, 1), np.float32))
+
+    with pytest.raises(ValueError, match="mixes counter-style"):
+        load_keras_h5_ordered({}, str(h5_path), ["a/kernel"], [])

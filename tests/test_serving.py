@@ -104,6 +104,36 @@ def test_server_mesh_sharded():
         ConfigNetServer(model, chunk=6, mesh=mesh)
 
 
+def test_render_with_attribute_per_image_values(server):
+    """A per-image (n, k) attribute-value batch is chunked alongside the
+    images (5 images cross the chunk=4 boundary) and each row is spliced
+    into its own image's latent; a mismatched batch dim raises."""
+    srv, model = server
+    rng = np.random.default_rng(5)
+    imgs = rng.integers(0, 256, (5, 128, 128, 3), dtype=np.uint8)
+    n_blend = model.config["facemodel_inputs"]["blendshape_values"][0]
+    values = rng.normal(size=(5, n_blend)).astype(np.float32)
+
+    out = srv.render_with_attribute(imgs, "blendshape_values", values)
+    assert out.shape == (5, 128, 128, 3) and out.dtype == np.uint8
+
+    # equivalent unfused path (set_facemodel_param_in_latents broadcasts
+    # per-row when given a matching batch)
+    latents, rotations = model.encode_images(imgs)
+    latents = model.set_facemodel_param_in_latents(
+        latents, "blendshape_values", values)
+    ref = model.generate_images(latents, rotations)
+    assert np.mean(np.abs(out.astype(int) - ref.astype(int))) < 1.0
+
+    # rows must differ from a single broadcast row (values actually applied)
+    out_bcast = srv.render_with_attribute(
+        imgs, "blendshape_values", values[:1])
+    assert not np.array_equal(out[1:], out_bcast[1:])
+
+    with pytest.raises(ValueError, match="batch dim"):
+        srv.render_with_attribute(imgs, "blendshape_values", values[:3])
+
+
 def test_render_with_attribute_value_not_baked(server):
     """Two calls with different attribute values must not reuse the first
     value through the jit cache (values travel as arguments, not closure
