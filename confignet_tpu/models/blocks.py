@@ -19,6 +19,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from confignet_tpu.ops.conv3d import Conv3d
 from confignet_tpu.ops.norms import adain_modulate, layer_style, std_instance_norm
 
 KERNEL_INIT = nn.initializers.glorot_uniform()
@@ -108,30 +109,36 @@ class ConvAdaIN(nn.Module):
     double_conv: bool = False
     conv_negative_slope: float = 0.3
     dtype: Optional[jnp.dtype] = None
+    # rank-3 conv lowering strategy (ops/conv3d.py) — parameter layout is
+    # identical across impls, so this is a pure compute-graph knob.
+    conv3d_impl: str = "auto"
 
-    @nn.compact
-    def __call__(self, x: jax.Array, z: jax.Array) -> jax.Array:
+    def _conv(self, name: str):
         ksize = (self.kernel_size,) * self.rank
-        x = nn.Conv(
+        if self.rank == 3:
+            return Conv3d(
+                features=self.num_feature_maps,
+                kernel_size=ksize,
+                dtype=self.dtype,
+                impl=self.conv3d_impl,
+                name=name,
+            )
+        return nn.Conv(
             self.num_feature_maps,
             ksize,
             padding="SAME",
             kernel_init=KERNEL_INIT,
             bias_init=BIAS_INIT,
             dtype=self.dtype,
-            name="conv_0",
-        )(x)
+            name=name,
+        )
+
+    @nn.compact
+    def __call__(self, x: jax.Array, z: jax.Array) -> jax.Array:
+        x = self._conv("conv_0")(x)
         if self.double_conv:
             x = leaky_relu(x, self.conv_negative_slope)
-            x = nn.Conv(
-                self.num_feature_maps,
-                ksize,
-                padding="SAME",
-                kernel_init=KERNEL_INIT,
-                bias_init=BIAS_INIT,
-                dtype=self.dtype,
-                name="conv_1",
-            )(x)
+            x = self._conv("conv_1")(x)
         x = leaky_relu(x, self.conv_negative_slope)
         x = AdaIN(
             num_features=self.num_feature_maps,

@@ -37,6 +37,7 @@ from confignet_tpu.core.transforms import (
     rotate_3d_grid_matmul,
 )
 from confignet_tpu.models.blocks import KERNEL_INIT, BIAS_INIT, ConvAdaIN, leaky_relu
+from confignet_tpu.ops.conv3d import Conv3d
 from confignet_tpu.ops.resample import upsample2d_nearest, upsample3d_nearest
 
 
@@ -103,6 +104,10 @@ class HologanGenerator(nn.Module):
     n_features_first: int = 256
     dtype: Optional[jnp.dtype] = None
     rotation_resample: str = "auto"
+    # 3x3x3 conv lowering (ops/conv3d.py): "xla" (native conv3d) or
+    # "zdecomp" (depth-tap 2D decomposition, exact same math and parameter
+    # layout); "auto" resolves to the measured-best per backend.
+    conv3d_impl: str = "auto"
 
     def _conv_adain_3d(self, features: int, name: str) -> ConvAdaIN:
         return ConvAdaIN(
@@ -112,6 +117,7 @@ class HologanGenerator(nn.Module):
             mlp_num_units=self.n_adain_mlp_units,
             mlp_num_layers=self.n_adain_mlp_layers,
             dtype=self.dtype,
+            conv3d_impl=self.conv3d_impl,
             name=name,
         )
 
@@ -180,13 +186,11 @@ class HologanGenerator(nn.Module):
 
         # 'Rendering' layers.
         for i in range(2):
-            x = nn.Conv(
-                nf // 4,
-                (3, 3, 3),
-                padding="SAME",
-                kernel_init=KERNEL_INIT,
-                bias_init=BIAS_INIT,
+            x = Conv3d(
+                features=nf // 4,
+                kernel_size=(3, 3, 3),
                 dtype=self.dtype,
+                impl=self.conv3d_impl,
                 name=f"map_3d_post_{i}",
             )(x)
             x = leaky_relu(x, 0.3)
