@@ -55,9 +55,10 @@ def test_resolve_auto_and_unknown():
         resolve_conv3d_impl("nope")
 
 
+@pytest.mark.slow
 def test_generator_impls_agree():
     """The full generator renders the same image under either conv3d
-    lowering with shared parameters."""
+    lowering with shared parameters.  Slow: compiles the forward twice."""
     from confignet_tpu.models.generator import HologanGenerator
 
     latent_dim = 16
