@@ -1,0 +1,68 @@
+"""Auxiliary-subsystem units: evaluation path discovery, profiler hooks,
+and the remote-logging fallbacks (SURVEY.md §5.1/§5.5/§2.7)."""
+import os
+
+import numpy as np
+
+from confignet_tpu.apps.evaluation_utils import get_model_paths
+from confignet_tpu.core.profiling import maybe_trace
+from confignet_tpu.core.remote_logging import get_aml_run, log_job_params, log_losses
+
+
+def test_get_model_paths(tmp_path):
+    # a file path passes through untouched
+    single = tmp_path / "model.json"
+    single.write_text("{}")
+    assert get_model_paths(str(single)) == [str(single)]
+
+    # directory: recursive glob, digit-suffix filter mirrors the reference's
+    # checkpoint naming (model_000123.json)
+    sub = tmp_path / "ckpts"
+    sub.mkdir()
+    ckpt = sub / "model_000123.json"
+    ckpt.write_text("{}")
+    plain = sub / "config.json"
+    plain.write_text("{}")
+
+    filtered = get_model_paths(str(tmp_path))
+    assert str(ckpt) in filtered and str(plain) not in filtered
+
+    unfiltered = get_model_paths(str(tmp_path), names_with_digits_only=False)
+    assert {str(ckpt), str(plain), str(single)} <= set(unfiltered)
+
+
+def test_maybe_trace_noop_and_live(tmp_path):
+    with maybe_trace(None):
+        pass  # no-op context
+
+    trace_dir = str(tmp_path / "trace")
+    import jax
+
+    with maybe_trace(trace_dir):
+        jax.block_until_ready(jax.numpy.ones((8, 8)) @ jax.numpy.ones((8, 8)))
+    walked = [os.path.join(d, f) for d, _, fs in os.walk(trace_dir) for f in fs]
+    assert walked, "profiler produced no trace files"
+
+
+def test_remote_logging_offline_fallbacks():
+    # azureml isn't installed here: the context is None and the loggers
+    # must be safe no-ops (reference: azure_ml_utils.py:8-14)
+    run = get_aml_run()
+    assert run is None
+
+    class Args:
+        lr = 0.1
+
+    log_job_params(None, Args())
+    log_losses(None, ["g"], [np.float32(1.0)])
+
+    class FakeRun:
+        def __init__(self):
+            self.logged = {}
+
+        def log(self, name, value):
+            self.logged[name] = value
+
+    fake = FakeRun()
+    log_losses(fake, ["g", "d"], [1.0, 2.0], prefix="train_")
+    assert fake.logged == {"train_g": 1.0, "train_d": 2.0}
