@@ -11,10 +11,44 @@ v5e-8 goal.  Prints exactly one JSON line.
 from __future__ import annotations
 
 import json
+import os
+import threading
 import time
 
 
+def _watchdog(timeout_s: float, stage: dict) -> None:
+    """The axon tunnel can wedge so hard that ``jax.devices()`` blocks
+    forever (observed 2026-08-18).  Rather than hang the driver, emit one
+    honest JSON line flagging the environment failure and exit."""
+    deadline = time.monotonic() + timeout_s
+    while time.monotonic() < deadline:
+        if stage.get("devices_ok"):
+            return
+        time.sleep(5)
+    print(
+        json.dumps(
+            {
+                "metric": "generator_fwd_256_throughput",
+                "value": 0.0,
+                "unit": "img/s",
+                "vs_baseline": 0.0,
+                "error": "TPU backend unreachable: jax.devices() did not "
+                         f"return within {int(timeout_s)}s (tunnel outage, "
+                         "not a framework failure)",
+            }
+        ),
+        flush=True,
+    )
+    os._exit(3)
+
+
 def main() -> None:
+    stage: dict = {}
+    timeout_s = float(os.environ.get("CONFIGNET_TPU_BENCH_DEVICE_TIMEOUT", "600"))
+    threading.Thread(
+        target=_watchdog, args=(timeout_s, stage), daemon=True
+    ).start()
+
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -23,6 +57,7 @@ def main() -> None:
     from confignet_tpu.parallel import create_mesh, replicate, shard_batch
 
     devices = jax.devices()
+    stage["devices_ok"] = True
     n_dev = len(devices)
     mesh = create_mesh(devices)
 
