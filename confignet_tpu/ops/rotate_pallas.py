@@ -132,15 +132,17 @@ def _rotate_kernel_grad_grid(ct_ref, pidx_ref, sidx_ref, frac_ref, out_ref, *, s
         pl.when(jnp.logical_and(s >= smin, s <= smax))(contribute)
 
 
-@functools.partial(jax.jit, static_argnames=("size", "point_block"))
+@functools.partial(jax.jit, static_argnames=("size", "point_block", "interpret"))
 def _rotate_grad_grid(ct: jax.Array, pidx, sidx, frac, size: int = 16,
-                      point_block: int = 1024) -> jax.Array:  # bwd revisits the out block; 1024 profiles best
+                      point_block: int = 1024,
+                      interpret: bool = False) -> jax.Array:  # bwd revisits the out block; 1024 profiles best
     batch, num_points, channels = ct.shape
     pb = min(point_block, num_points)
     kernel = functools.partial(_rotate_kernel_grad_grid, size=size)
     return pl.pallas_call(
         kernel,
         grid=(batch, num_points // pb),
+        interpret=interpret,
         in_specs=[
             pl.BlockSpec((1, pb, channels), lambda b, p: (b, p, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 4, pb), lambda b, p: (b, 0, p), memory_space=pltpu.VMEM),
@@ -205,14 +207,19 @@ def _rotate_fused_bwd(transform, ct):
 rotate_3d_grid_fused.defvjp(_rotate_fused_fwd, _rotate_fused_bwd)
 
 
-@functools.partial(jax.jit, static_argnames=("point_block",))
-def rotate_3d_grid_pallas(grid: jax.Array, transform: jax.Array, point_block: int = 1024) -> jax.Array:
+@functools.partial(jax.jit, static_argnames=("point_block", "interpret"))
+def rotate_3d_grid_pallas(grid: jax.Array, transform: jax.Array, point_block: int = 1024,
+                          interpret: bool = False) -> jax.Array:
     """Drop-in replacement for ``rotate_3d_grid`` backed by the fused Pallas
     kernel.  Same interpolation contract (clamped borders, trilinear).
 
     point_block=2048 measures ~6% faster for bf16 C=128 volumes but fails
     to compile for f32 shapes on this toolchain; 1024 is the safe default
     (and its 4-wide output-x windows give the tightest slab bounds).
+
+    ``interpret=True`` runs the kernel through the Pallas interpreter on any
+    backend — used by the CPU test suite to pin the kernel's logic without
+    TPU hardware (tests/test_pallas_interpret.py).
     """
     from confignet_tpu.core.transforms import _source_coords
 
@@ -233,6 +240,7 @@ def rotate_3d_grid_pallas(grid: jax.Array, transform: jax.Array, point_block: in
     out = pl.pallas_call(
         kernel,
         grid=(batch, num_points // pb),
+        interpret=interpret,
         in_specs=[
             pl.BlockSpec((1, size, size * size, channels), lambda b, p: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
