@@ -186,5 +186,10 @@ def run(args):
             break
 
 
-if __name__ == "__main__":
+def main() -> None:
+    """console_scripts entry point (setup.py)."""
     run(sys.argv[1:])
+
+
+if __name__ == "__main__":
+    main()

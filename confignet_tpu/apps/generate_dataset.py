@@ -51,5 +51,10 @@ def parse_args(argv):
             dataset.write_images_by_attribute(args.img_output_dir)
 
 
-if __name__ == "__main__":
+def main() -> None:
+    """console_scripts entry point (setup.py)."""
     parse_args(sys.argv[1:])
+
+
+if __name__ == "__main__":
+    main()

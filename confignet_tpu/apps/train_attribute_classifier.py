@@ -57,5 +57,10 @@ def parse_args(args):
                          n_epochs=args.n_epochs, steps_per_epoch=args.steps_per_epoch)
 
 
-if __name__ == "__main__":
+def main() -> None:
+    """console_scripts entry point (setup.py)."""
     parse_args(sys.argv[1:])
+
+
+if __name__ == "__main__":
+    main()

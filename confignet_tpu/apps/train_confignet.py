@@ -152,5 +152,10 @@ def parse_args(args):
         )
 
 
-if __name__ == "__main__":
+def main() -> None:
+    """console_scripts entry point (setup.py)."""
     parse_args(sys.argv[1:])
+
+
+if __name__ == "__main__":
+    main()

@@ -66,5 +66,10 @@ def parse_args(args):
                          n_iters=args.n_training_steps)
 
 
-if __name__ == "__main__":
+def main() -> None:
+    """console_scripts entry point (setup.py)."""
     parse_args(sys.argv[1:])
+
+
+if __name__ == "__main__":
+    main()

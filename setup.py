@@ -15,4 +15,15 @@ setup(
     extras_require={
         "full": ["opencv-python", "matplotlib", "scipy", "h5py"],
     },
+    entry_points={
+        "console_scripts": [
+            # the reference's six entry points, installed as commands
+            "confignet-train=confignet_tpu.apps.train_confignet:main",
+            "confignet-train-latent-gan=confignet_tpu.apps.train_latent_gan:main",
+            "confignet-train-attribute-classifier=confignet_tpu.apps.train_attribute_classifier:main",
+            "confignet-generate-dataset=confignet_tpu.apps.generate_dataset:main",
+            "confignet-demo=confignet_tpu.apps.confignet_demo:main",
+            "confignet-eval-controllability=confignet_tpu.apps.evaluate_confignet_controllability:main",
+        ]
+    },
 )
