@@ -3,9 +3,10 @@
 The generator's FLOP budget is dominated by four 3x3x3 convolutions on
 8^3/16^3 feature volumes (models/generator.py; reference architecture:
 confignet/dnn_models/hologan_generator.py:139-154).  XLA lowers
-``lax.conv_general_dilated`` with three spatial dims directly, reaching
-~70% of bf16 MXU peak on these shapes (docs/SCALING.md), which leaves
-room for an alternative lowering to compete.
+``lax.conv_general_dilated`` with three spatial dims directly; the round-3
+on-chip A/B (docs/SCALING.md "conv3d lowering A/B") measured it at
+115-170 TFLOP/s across the generator's shapes — up to 86% of v5e bf16
+peak, beating both alternative lowerings here on every shape.
 
 ``conv3d_zdecomp`` re-expresses the 3D conv as a sum over the kernel's
 depth taps of 2D convolutions with the batch and depth axes merged:
@@ -71,9 +72,11 @@ _BIAS_INIT = nn.initializers.zeros
 def resolve_conv3d_impl(name: str) -> str:
     """"auto" -> the measured-best lowering per backend.
 
-    Currently "xla" everywhere: the zdecomp alternative is wired and
-    parity-tested (tests/test_conv3d.py) but stays opt-in until the
-    on-chip A/B lands in docs/SCALING.md.
+    "xla" everywhere, by measurement: the round-3 on-chip A/B
+    (docs/SCALING.md) has native conv3d winning all three generator
+    shapes (170/151/115 TFLOP/s vs zdecomp's 117/143/71).  zdecomp stays
+    wired and parity-tested (tests/test_conv3d.py) as the escape hatch
+    for a toolchain where the 3-spatial-dim emitter regresses.
     """
     if name == "auto":
         return "xla"

@@ -53,11 +53,15 @@ def run_step(name: str, cmd: list[str], out_dir: str, timeout_s: float) -> dict:
     log_path = os.path.join(out_dir, f"{name}.log")
     print(f"=== {name}: {' '.join(cmd)} (timeout {int(timeout_s)}s)", flush=True)
     t0 = time.monotonic()
+    # Scripts under setup/ get setup/ (not the repo root) as sys.path[0];
+    # export the root so `import confignet_tpu` works without installation.
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     with open(log_path, "w") as log:
         try:
             proc = subprocess.run(
                 cmd, stdout=log, stderr=subprocess.STDOUT,
-                timeout=timeout_s, cwd=REPO, check=False,
+                timeout=timeout_s, cwd=REPO, check=False, env=env,
             )
             rc = proc.returncode
         except subprocess.TimeoutExpired:
