@@ -21,6 +21,8 @@ from flax import linen as nn
 
 from confignet_tpu.ops.conv3d import Conv3d
 from confignet_tpu.ops.norms import adain_modulate, layer_style, std_instance_norm
+from confignet_tpu.ops.upconv import UpConv, resolve_upconv_impl
+from confignet_tpu.ops.resample import upsample2d_nearest, upsample3d_nearest
 
 KERNEL_INIT = nn.initializers.glorot_uniform()
 BIAS_INIT = nn.initializers.zeros
@@ -112,6 +114,15 @@ class ConvAdaIN(nn.Module):
     # rank-3 conv lowering strategy (ops/conv3d.py) — parameter layout is
     # identical across impls, so this is a pure compute-graph knob.
     conv3d_impl: str = "auto"
+    # Absorb a preceding nearest-2x upsample into this block (the
+    # reference always pairs UpSampling with the next ConvAdaIN —
+    # hologan_generator.py:139-170).  ``upconv_impl`` picks the lowering
+    # (ops/upconv.py): "subpixel" convolves on the SMALL grid with
+    # collapsed per-phase kernels (exact rewrite, 1.7-2.4x fewer FLOPs in
+    # 3D, no materialised 4x tensor in 2D); "naive" materialises the
+    # upsample.  Parameter pytree is identical across both.
+    pre_upsample: bool = False
+    upconv_impl: str = "auto"
 
     def _conv(self, name: str):
         ksize = (self.kernel_size,) * self.rank
@@ -135,7 +146,20 @@ class ConvAdaIN(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, z: jax.Array) -> jax.Array:
-        x = self._conv("conv_0")(x)
+        if self.pre_upsample:
+            if resolve_upconv_impl(self.upconv_impl) == "subpixel":
+                x = UpConv(
+                    features=self.num_feature_maps,
+                    kernel_size=(self.kernel_size,) * self.rank,
+                    dtype=self.dtype,
+                    impl="subpixel",
+                    name="conv_0",
+                )(x)
+            else:
+                up = upsample3d_nearest if self.rank == 3 else upsample2d_nearest
+                x = self._conv("conv_0")(up(x))
+        else:
+            x = self._conv("conv_0")(x)
         if self.double_conv:
             x = leaky_relu(x, self.conv_negative_slope)
             x = self._conv("conv_1")(x)

@@ -38,7 +38,8 @@ from confignet_tpu.core.transforms import (
 )
 from confignet_tpu.models.blocks import KERNEL_INIT, BIAS_INIT, ConvAdaIN, leaky_relu
 from confignet_tpu.ops.conv3d import Conv3d
-from confignet_tpu.ops.resample import upsample2d_nearest, upsample3d_nearest
+from confignet_tpu.ops.resample import upsample2d_nearest
+from confignet_tpu.ops.upconv import UpConv, resolve_upconv_impl
 
 
 def _resolve_rotation_impl(name: str):
@@ -108,8 +109,15 @@ class HologanGenerator(nn.Module):
     # "zdecomp" (depth-tap 2D decomposition, exact same math and parameter
     # layout); "auto" resolves to the measured-best per backend.
     conv3d_impl: str = "auto"
+    # Lowering for every upsample->conv pair (ops/upconv.py): "subpixel"
+    # folds the nearest-2x upsample into the conv (exact rewrite, same
+    # parameter pytree) or "naive" materialises it; "auto" resolves to the
+    # measured-best.
+    upconv_impl: str = "auto"
 
-    def _conv_adain_3d(self, features: int, name: str) -> ConvAdaIN:
+    def _conv_adain_3d(
+        self, features: int, name: str, pre_upsample: bool = False
+    ) -> ConvAdaIN:
         return ConvAdaIN(
             num_feature_maps=features,
             kernel_size=3,
@@ -118,10 +126,14 @@ class HologanGenerator(nn.Module):
             mlp_num_layers=self.n_adain_mlp_layers,
             dtype=self.dtype,
             conv3d_impl=self.conv3d_impl,
+            pre_upsample=pre_upsample,
+            upconv_impl=self.upconv_impl,
             name=name,
         )
 
-    def _conv_adain_2d(self, features: int, name: str) -> ConvAdaIN:
+    def _conv_adain_2d(
+        self, features: int, name: str, pre_upsample: bool = False
+    ) -> ConvAdaIN:
         return ConvAdaIN(
             num_feature_maps=features,
             kernel_size=4,
@@ -129,6 +141,8 @@ class HologanGenerator(nn.Module):
             mlp_num_units=self.n_adain_mlp_units,
             mlp_num_layers=self.n_adain_mlp_layers,
             dtype=self.dtype,
+            pre_upsample=pre_upsample,
+            upconv_impl=self.upconv_impl,
             name=name,
         )
 
@@ -167,10 +181,12 @@ class HologanGenerator(nn.Module):
         if self.dtype is not None:
             x = x.astype(self.dtype)
 
-        x = upsample3d_nearest(x)
-        x = self._conv_adain_3d(nf, "map_3d_0")(x, input_dict["z_3d_0"])
-        x = upsample3d_nearest(x)
-        x = self._conv_adain_3d(nf // 2, "map_3d_1")(x, input_dict["z_3d_1"])
+        x = self._conv_adain_3d(nf, "map_3d_0", pre_upsample=True)(
+            x, input_dict["z_3d_0"]
+        )
+        x = self._conv_adain_3d(nf // 2, "map_3d_1", pre_upsample=True)(
+            x, input_dict["z_3d_1"]
+        )
 
         # Rotate the feature volume in 3D.  In float32 mode the resample runs
         # in float32 for parity with the reference's explicit cast
@@ -210,27 +226,36 @@ class HologanGenerator(nn.Module):
         x = leaky_relu(x, 0.2)  # tf.nn.leaky_relu default
 
         x = self._conv_adain_2d(nf, "map_2d_0")(x, input_dict["z_2d_0"])
-        x = upsample2d_nearest(x)
-        x = self._conv_adain_2d(nf // 4, "map_2d_1")(x, input_dict["z_2d_1"])
-        x = upsample2d_nearest(x)
-        x = self._conv_adain_2d(nf // 8, "map_2d_2")(x, input_dict["z_2d_2"])
-        x = upsample2d_nearest(x)
+        x = self._conv_adain_2d(nf // 4, "map_2d_1", pre_upsample=True)(
+            x, input_dict["z_2d_1"]
+        )
+        x = self._conv_adain_2d(nf // 8, "map_2d_2", pre_upsample=True)(
+            x, input_dict["z_2d_2"]
+        )
         if self.output_shape[0] > 128:
-            x = self._conv_adain_2d(nf // 8, "map_2d_2b")(x, input_dict["z_2d_2"])
-            x = upsample2d_nearest(x)
+            x = self._conv_adain_2d(nf // 8, "map_2d_2b", pre_upsample=True)(
+                x, input_dict["z_2d_2"]
+            )
         if self.output_shape[0] > 256:
-            x = self._conv_adain_2d(nf // 16, "map_2d_2c")(x, input_dict["z_2d_2"])
-            x = upsample2d_nearest(x)
+            x = self._conv_adain_2d(nf // 16, "map_2d_2c", pre_upsample=True)(
+                x, input_dict["z_2d_2"]
+            )
 
-        x = nn.Conv(
-            3,
-            (4, 4),
-            padding="SAME",
-            kernel_init=KERNEL_INIT,
-            bias_init=BIAS_INIT,
-            dtype=self.dtype,
-            name="map_final",
-        )(x)
+        if resolve_upconv_impl(self.upconv_impl) == "subpixel":
+            x = UpConv(
+                features=3, kernel_size=(4, 4), dtype=self.dtype,
+                impl="subpixel", name="map_final",
+            )(x)
+        else:
+            x = nn.Conv(
+                3,
+                (4, 4),
+                padding="SAME",
+                kernel_init=KERNEL_INIT,
+                bias_init=BIAS_INIT,
+                dtype=self.dtype,
+                name="map_final",
+            )(upsample2d_nearest(x))
         if self.gen_output_activation == "tanh":
             x = jnp.tanh(x)
         elif self.gen_output_activation not in (None, "linear"):

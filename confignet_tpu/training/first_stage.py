@@ -115,6 +115,7 @@ DEFAULT_CONFIG: Dict[str, Any] = {
     "perceptual_taps": None,     # override VGG taps (tests use shallow taps)
     "rotation_resample": "auto",  # inference resample impl (pallas on TPU)
     "conv3d_impl": "auto",  # generator 3x3x3 conv lowering (ops/conv3d.py)
+    "upconv_impl": "auto",  # upsample+conv lowering (ops/upconv.py)
     "backbones_dir": None,  # dir of Keras notop .h5 files (see core/pretrained.py)
     "r1_heads": "all",  # "final" = single-head R1, ~5x fewer D backward passes
     "loss_print_period": 50,  # steps between device->host loss flushes
@@ -222,6 +223,7 @@ class ConfigNetFirstStage:
             dtype=self.compute_dtype,
             rotation_resample=rotation_resample,
             conv3d_impl=self.config.get("conv3d_impl", "auto"),
+            upconv_impl=self.config.get("upconv_impl", "auto"),
         )
 
     def _discriminator_kwargs(self) -> Dict[str, Any]:
