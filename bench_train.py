@@ -137,9 +137,21 @@ def bench_stage1(results, dtype_name, n_iters=10):
     steps_per_sec, staged = _timed_train_steps(model, ds, step, (vgg,), n_iters)
     suffix = "" if cfg["batch_size"] == 24 else f"_b{cfg['batch_size']}"
     suffix += "_staged" if staged else ""
+    if cfg.get("r1_heads", "all") != "all":
+        # Non-default R1 head selection gets its own metric name so a
+        # --r1_heads run can't silently replace the reference-semantics row
+        # on the partial-run merge in main().
+        suffix += f"_r1_{cfg['r1_heads']}"
+    row_kwargs = {}
+    if cfg.get("r1_heads", "all") != "all":
+        row_kwargs["note"] = (
+            f"r1_heads={cfg['r1_heads']} (single-head R1, Mescheder-style) "
+            "instead of the reference's per-head penalty"
+        )
     _emit(results, f"stage1_train_step_{dtype_name}{suffix}", steps_per_sec, "steps/s",
           batch=cfg["batch_size"],
-          imgs_per_sec=round(steps_per_sec * cfg["batch_size"], 1))
+          imgs_per_sec=round(steps_per_sec * cfg["batch_size"], 1),
+          **row_kwargs)
 
 
 def bench_stage2(results, dtype_name, n_iters=10):
