@@ -119,6 +119,25 @@ def _timed_train_steps(model, ds, step, model_args, n_iters):
     return n_iters / elapsed, staged
 
 
+def _metric_name_parts(cfg, staged):
+    """Metric-name suffix + row annotations shared by both train-step benches.
+
+    Non-default R1 head selection gets its own metric name so a --r1_heads
+    run can't silently replace the reference-semantics row on the
+    partial-run merge in main() — this applies to stage 2 as much as stage 1
+    (r1_heads changes both steps' semantics)."""
+    suffix = "" if cfg["batch_size"] == 24 else f"_b{cfg['batch_size']}"
+    suffix += "_staged" if staged else ""
+    row_kwargs = {}
+    if cfg.get("r1_heads", "all") != "all":
+        suffix += f"_r1_{cfg['r1_heads']}"
+        row_kwargs["note"] = (
+            f"r1_heads={cfg['r1_heads']} (single-head R1, Mescheder-style) "
+            "instead of the reference's per-head penalty"
+        )
+    return suffix, row_kwargs
+
+
 def bench_stage1(results, dtype_name, n_iters=10):
     import jax
 
@@ -135,19 +154,7 @@ def bench_stage1(results, dtype_name, n_iters=10):
     vgg = model.perceptual_loss.variables["params"]
 
     steps_per_sec, staged = _timed_train_steps(model, ds, step, (vgg,), n_iters)
-    suffix = "" if cfg["batch_size"] == 24 else f"_b{cfg['batch_size']}"
-    suffix += "_staged" if staged else ""
-    if cfg.get("r1_heads", "all") != "all":
-        # Non-default R1 head selection gets its own metric name so a
-        # --r1_heads run can't silently replace the reference-semantics row
-        # on the partial-run merge in main().
-        suffix += f"_r1_{cfg['r1_heads']}"
-    row_kwargs = {}
-    if cfg.get("r1_heads", "all") != "all":
-        row_kwargs["note"] = (
-            f"r1_heads={cfg['r1_heads']} (single-head R1, Mescheder-style) "
-            "instead of the reference's per-head penalty"
-        )
+    suffix, row_kwargs = _metric_name_parts(cfg, staged)
     _emit(results, f"stage1_train_step_{dtype_name}{suffix}", steps_per_sec, "steps/s",
           batch=cfg["batch_size"],
           imgs_per_sec=round(steps_per_sec * cfg["batch_size"], 1),
@@ -172,11 +179,11 @@ def bench_stage2(results, dtype_name, n_iters=10):
     vggface = model.perceptual_loss_face_reco.variables["params"]
 
     steps_per_sec, staged = _timed_train_steps(model, ds, step, (vgg, vggface), n_iters)
-    suffix = "" if cfg["batch_size"] == 24 else f"_b{cfg['batch_size']}"
-    suffix += "_staged" if staged else ""
+    suffix, row_kwargs = _metric_name_parts(cfg, staged)
     _emit(results, f"stage2_train_step_{dtype_name}{suffix}", steps_per_sec, "steps/s",
           batch=cfg["batch_size"],
-          imgs_per_sec=round(steps_per_sec * cfg["batch_size"], 1))
+          imgs_per_sec=round(steps_per_sec * cfg["batch_size"], 1),
+          **row_kwargs)
 
 
 def bench_fine_tune(results, n_iters=50):

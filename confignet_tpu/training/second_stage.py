@@ -323,7 +323,12 @@ class ConfigNet(ConfigNetFirstStage):
     def _sample_host_batch(self, real_training_set, synth_training_set) -> Dict[str, Any]:
         from confignet_tpu.runtime import gather_images, gather_rows
 
-        rng = np.random
+        # Same contract as stage 1 (first_stage.py:524-528): the dedicated
+        # RandomState keeps the prefetch-thread batch stream isolated from
+        # main-thread np.random use (checkpoint-time draws), preserving
+        # run-to-run batch reproducibility and avoiding two-thread mutation
+        # of the non-thread-safe global RNG.
+        rng = self._batch_rng
         batch_size = self.config["batch_size"]
         n_synth = batch_size // 2
         n_real = batch_size - n_synth

@@ -63,3 +63,27 @@ TINY_FIRST_STAGE_CONFIG = {
         "head_hair_color": (3, 4),
     },
 }
+
+
+def batch_signature(batch):
+    """Byte-level signature of a host batch (order-sensitive), for
+    reproducibility tests."""
+    import jax
+
+    return [np.asarray(leaf).tobytes() for leaf in jax.tree_util.tree_leaves(batch)]
+
+
+def sample_batch_signatures(model_cls, config, dataset, n_batches, interleave):
+    """Seed the global numpy RNG, build a fresh trainer, and record the
+    signatures of its first ``n_batches`` host batches.  With
+    ``interleave=True``, draw from the global ``np.random`` between samples
+    the way checkpoint-time main-thread code does — the batch stream must
+    not shift (trainers own a dedicated RandomState for batch sampling)."""
+    np.random.seed(1234)
+    model = model_cls(dict(config))
+    sigs = []
+    for _ in range(n_batches):
+        if interleave:
+            np.random.rand(97)
+        sigs.append(batch_signature(model._sample_host_batch(dataset, dataset)))
+    return sigs

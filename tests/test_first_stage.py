@@ -163,3 +163,17 @@ def test_orbax_checkpoint_roundtrip(model, tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
     model.set_weights(restored)  # loadable back into the trainer
+
+
+def test_batch_sequence_reproducible_across_main_thread_draws(dataset):
+    """Two same-seed trainers must produce identical batch sequences even
+    when the main thread draws from the global np.random between samples
+    (reference anchor: confignet_first_stage.py:597-626 samples with the
+    process-global RNG; our prefetch thread requires an isolated stream)."""
+    from helpers import sample_batch_signatures
+
+    clean = sample_batch_signatures(
+        ConfigNetFirstStage, TINY_FIRST_STAGE_CONFIG, dataset, 3, interleave=False)
+    noisy = sample_batch_signatures(
+        ConfigNetFirstStage, TINY_FIRST_STAGE_CONFIG, dataset, 3, interleave=True)
+    assert clean == noisy

@@ -148,3 +148,16 @@ def test_fine_tune_and_generate_512():
     imgs = model.generate_images(embeddings, rotations)
     assert imgs.shape == (1, 512, 512, 3)
     assert imgs.dtype == np.uint8
+
+
+def test_stage2_batch_sequence_reproducible_across_main_thread_draws(dataset):
+    """Stage 2 regression guard: _sample_host_batch must use the dedicated
+    RandomState (not the global np.random) so prefetch-thread batch order is
+    reproducible and untouched by main-thread checkpoint-time draws."""
+    from helpers import sample_batch_signatures
+
+    clean = sample_batch_signatures(
+        ConfigNet, TINY_FIRST_STAGE_CONFIG, dataset, 3, interleave=False)
+    noisy = sample_batch_signatures(
+        ConfigNet, TINY_FIRST_STAGE_CONFIG, dataset, 3, interleave=True)
+    assert clean == noisy
