@@ -55,6 +55,17 @@ def load_model_weights(npz_path: str) -> Dict[str, Any]:
         return unflatten_param_trees({k: data[k] for k in data.files})
 
 
+def npz_is_reference_format(npz_path: str) -> bool:
+    """True when the npz is a reference-release checkpoint: Keras
+    ``get_weights()`` lists keyed ``<model>_weights`` (object arrays, saved
+    by confignet_first_stage.py:173-178 / latent_gan.py:48-56) rather than
+    our ``<tree>/<path>`` keys.  Only the key listing is touched, so no
+    pickle is executed here."""
+    with np.load(npz_path, allow_pickle=False) as data:
+        files = list(data.files)
+    return bool(files) and all(k.endswith("_weights") for k in files)
+
+
 def attempt_reloading_checkpoint(output_dir: str, dnn_loader=None):
     """Preemption-recovery: scan ``<output>/checkpoints`` and the previous
     job's output dir (``$PT_PREV_OUTPUT_DIR/checkpoints``) for the newest
@@ -113,8 +124,10 @@ def load_weights_orbax(checkpoint_dir: str) -> Dict[str, Any]:
 
 
 def load_confignet(model_path: str):
-    """Load any saved model (ConfigNet, ConfigNetFirstStage) by its
-    ``model_type`` field."""
+    """Load any saved model (ConfigNet, ConfigNetFirstStage, LatentGAN) by
+    its ``model_type`` field.  Each class loader sniffs the npz format, so
+    official reference-release checkpoints (``model.zip`` contents) load
+    through the same entry point as our own."""
     with open(model_path, "r") as fp:
         metadata = json.load(fp)
     model_type = metadata["model_type"]
@@ -127,4 +140,8 @@ def load_confignet(model_path: str):
         from confignet_tpu.training.second_stage import ConfigNet
 
         return ConfigNet.load(model_path)
+    if model_type == "LatentGAN":
+        from confignet_tpu.training.latent_gan import LatentGAN
+
+        return LatentGAN.load(model_path)
     raise ValueError(f"unknown model_type {model_type!r} in {model_path}")

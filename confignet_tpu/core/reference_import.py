@@ -220,6 +220,41 @@ def assign_weight_list(params: Dict[str, Any], weight_list: Sequence[np.ndarray]
     return traverse_util.unflatten_dict(flat)
 
 
+class _ReferenceUnpickler:
+    """Unpickle reference-release ``*_facemodel_distr.pck`` files.
+
+    The reference pickles instances of its own distribution classes
+    (``confignet.neural_renderer_dataset.{OneHot,Exemplar}Distribution``,
+    neural_renderer_dataset.py:22-59) plus sklearn ``GaussianMixture``; our
+    classes carry the same attribute names, so remapping the module path is
+    enough to restore them."""
+
+    _CLASS_MAP = {
+        ("confignet.neural_renderer_dataset", "OneHotDistribution"):
+            ("confignet_tpu.data.distributions", "OneHotDistribution"),
+        ("confignet.neural_renderer_dataset", "ExemplarDistribution"):
+            ("confignet_tpu.data.distributions", "ExemplarDistribution"),
+    }
+
+    @classmethod
+    def load(cls, fp):
+        import importlib
+        import pickle
+
+        class Unpickler(pickle.Unpickler):
+            def find_class(self, module, name):
+                module, name = cls._CLASS_MAP.get((module, name), (module, name))
+                return getattr(importlib.import_module(module), name)
+
+        return Unpickler(fp).load()
+
+
+def load_reference_pickle(path: str):
+    """Load a pickle that may have been written by the original TF repo."""
+    with open(path, "rb") as fp:
+        return _ReferenceUnpickler.load(fp)
+
+
 def load_reference_confignet(json_path: str):
     """Build a ConfigNet(FirstStage) from a reference-format checkpoint
     (json + npz of Keras weight lists).  Backbone-dependent parts (the real

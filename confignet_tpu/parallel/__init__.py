@@ -3,6 +3,7 @@ from confignet_tpu.parallel.mesh import (
     batch_sharding,
     replicated_sharding,
     shard_batch,
+    process_slice,
     replicate,
     maybe_initialize_distributed,
 )
@@ -12,6 +13,7 @@ __all__ = [
     "batch_sharding",
     "replicated_sharding",
     "shard_batch",
+    "process_slice",
     "replicate",
     "maybe_initialize_distributed",
 ]

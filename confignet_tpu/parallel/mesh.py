@@ -28,18 +28,50 @@ def create_mesh(devices: Optional[Sequence[jax.Device]] = None, axis_name: str =
     return Mesh(np.asarray(devices), (axis_name,))
 
 
-def batch_sharding(mesh: Mesh, axis_name: str = DATA_AXIS) -> NamedSharding:
-    """Sharding that splits the leading (batch) axis across the mesh."""
-    return NamedSharding(mesh, P(axis_name))
+def batch_sharding(mesh: Mesh, axis_name: str = DATA_AXIS, batch_axis: int = 0) -> NamedSharding:
+    """Sharding that splits the batch axis (by default the leading one)
+    across the mesh.  ``batch_axis=1`` handles the (n_updates, batch, ...)
+    layout used when ``n_discriminator_updates``/``n_generator_updates`` > 1."""
+    return NamedSharding(mesh, P(*([None] * batch_axis), axis_name))
 
 
 def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(mesh: Mesh, batch: Any, axis_name: str = DATA_AXIS) -> Any:
-    """Device-put every array leaf with its leading axis split over the mesh."""
-    sharding = batch_sharding(mesh, axis_name)
+def process_slice(global_rows: int) -> slice:
+    """This host's contiguous row range of a ``global_rows``-long batch axis.
+
+    Multi-host contract: every process draws the SAME global index arrays
+    (identical seeds keep the batch RNG streams in lockstep), then gathers
+    only its own row range — so no host materializes the global batch
+    (the expensive image gathers happen per-host on 1/n of the rows)."""
+    n = jax.process_count()
+    if n == 1:
+        return slice(None)
+    if global_rows % n != 0:
+        raise ValueError(
+            f"global batch rows ({global_rows}) must divide evenly over "
+            f"{n} processes")
+    per = global_rows // n
+    idx = jax.process_index()
+    return slice(idx * per, (idx + 1) * per)
+
+
+def shard_batch(mesh: Mesh, batch: Any, axis_name: str = DATA_AXIS, batch_axis: int = 0) -> Any:
+    """Device-put every array leaf with its batch axis split over the mesh.
+
+    Single-process: a plain sharded device_put.  Multi-process: each leaf is
+    this host's LOCAL row range (see :func:`process_slice`) and the global
+    array is assembled with ``jax.make_array_from_process_local_data`` — no
+    cross-host data movement, each host feeds only its own chips."""
+    sharding = batch_sharding(mesh, axis_name, batch_axis)
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.ascontiguousarray(x)),
+            batch,
+        )
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)
 
 

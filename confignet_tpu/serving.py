@@ -28,6 +28,13 @@ class ConfigNetServer:
 
     ``chunk`` is the device batch: inputs are padded to a multiple of it so
     any request size hits the same compiled program.
+
+    **Snapshot semantics**: parameters are snapshotted at construction (and
+    baked into the compiled executables), so training or fine-tuning the
+    wrapped model afterwards does NOT change what the server renders.  Call
+    :meth:`refresh` to re-snapshot the current weights; it drops the
+    compiled-program cache, so the next call per entry point re-traces
+    (~seconds, amortized over the serving session).
     """
 
     def __init__(self, confignet, latent_gan=None, chunk: int = 32, mesh=None):
@@ -44,6 +51,14 @@ class ConfigNetServer:
                 f"chunk ({self.chunk}) must be divisible by the mesh size "
                 f"({mesh.size}) so batches shard evenly")
 
+        self._fns: Dict[object, object] = {}
+        self.refresh()
+
+    def refresh(self) -> None:
+        """Re-snapshot the wrapped model's current parameters (e.g. after
+        ``fine_tune_on_img`` or further training) and invalidate the
+        compiled-program cache so subsequent calls serve the new weights."""
+        confignet = self.confignet
         self._enc_params = confignet.state.generator.params["real_encoder"]
         self._gen_params = (
             confignet._fine_tuned_generator_params
@@ -51,13 +66,13 @@ class ConfigNetServer:
             else confignet.state.generator_smoothed
         )
         self._synth_params = confignet.state.generator.params["synthetic_encoder"]
-        if mesh is not None:
+        if self.mesh is not None:
             from confignet_tpu.parallel import replicate
 
-            self._enc_params = replicate(mesh, self._enc_params)
-            self._gen_params = replicate(mesh, self._gen_params)
-            self._synth_params = replicate(mesh, self._synth_params)
-        self._fns: Dict[object, object] = {}
+            self._enc_params = replicate(self.mesh, self._enc_params)
+            self._gen_params = replicate(self.mesh, self._gen_params)
+            self._synth_params = replicate(self.mesh, self._synth_params)
+        self._fns.clear()
 
     # -- building blocks (traced under jit) -----------------------------
 

@@ -119,6 +119,10 @@ DEFAULT_CONFIG: Dict[str, Any] = {
     "backbones_dir": None,  # dir of Keras notop .h5 files (see core/pretrained.py)
     "r1_heads": "all",  # "final" = single-head R1, ~5x fewer D backward passes
     "loss_print_period": 50,  # steps between device->host loss flushes
+    # Run metric/image/save checkpoints on a background worker from
+    # device-side snapshots (keeps the step loop dispatching); set False for
+    # the reference's inline-blocking behavior.
+    "async_checkpointing": True,
     "seed": 0,
 }
 
@@ -169,6 +173,11 @@ class ConfigNetFirstStage:
         self._batch_rng = np.random.RandomState(np.random.randint(0, 2**31))
         self.facemodel_param_distributions = None
         self.mesh = None
+        # Async checkpointing: the worker thread renders/saves from these
+        # donation-safe device snapshots instead of live (donated) state.
+        self._checkpoint_worker = None
+        self._inference_params_override = None
+        self._snapshot_fn = None
         self.log_writer: Optional[TensorBoardWriter] = None
         self.aml_sink = None  # optional callable(name, value)
 
@@ -399,103 +408,131 @@ class ConfigNetFirstStage:
             losses["loss_sum"] = sum(losses.values())
             return losses["loss_sum"], losses
 
+        n_d_updates = int(cfg.get("n_discriminator_updates", 1))
+        n_g_updates = int(cfg.get("n_generator_updates", 1))
+        # With n_*_updates > 1 the host stacks a fresh batch per sub-update
+        # along a leading axis (reference semantics: each sub-step of
+        # confignet_first_stage.py:604-612 resamples its own batch); the
+        # sub-steps are statically unrolled here so XLA sees fixed shapes.
+        multi = n_d_updates > 1 or n_g_updates > 1
+
+        def sub_batch(batch, u, g_fields):
+            picked = {k: v for k, v in batch.items() if k.startswith("g_") == g_fields}
+            if not multi:
+                return picked
+            return jax.tree_util.tree_map(lambda x: x[u], picked)
+
         def train_step(state: FirstStageState, key, batch, vgg_params):
-            keys = jax.random.split(key, 8)
-            batch_size = batch["d_real_imgs"].shape[0]
+            d_keys = jax.random.split(jax.random.fold_in(key, 0), n_d_updates)
+            g_keys = jax.random.split(jax.random.fold_in(key, 1), n_g_updates)
+            batch_size = batch["d_real_imgs"].shape[1 if multi else 0]
 
-            # ---- image-discriminator update (real set vs G(z)) ----
-            real_imgs = self._to_unit_range(batch["d_real_imgs"])
-            real_imgs = batched_hflip(
-                real_imgs, jax.random.bernoulli(keys[0], 0.5, (batch_size,))
-            )
-            z = self._sample_latent_on_device(keys[1], batch_size)
-            rot = self._sample_rotations_on_device(keys[2], batch_size)
-            fake_imgs = self._gen_apply(state.generator.params["generator"], z, rot)
+            discriminator = state.discriminator
+            synth_discriminator = state.synth_discriminator
+            latent_discriminator = state.latent_discriminator
+            gen_params = state.generator.params
 
-            def d_loss(params):
-                losses = compute_discriminator_loss(
-                    lambda x: self._disc_apply(params, x), real_imgs, fake_imgs,
-                    r1_heads=cfg.get("r1_heads", "all"),
+            for u in range(n_d_updates):
+                keys = jax.random.split(d_keys[u], 5)
+                b = sub_batch(batch, u, g_fields=False)
+
+                # ---- image-discriminator update (real set vs G(z)) ----
+                real_imgs = self._to_unit_range(b["d_real_imgs"])
+                real_imgs = batched_hflip(
+                    real_imgs, jax.random.bernoulli(keys[0], 0.5, (batch_size,))
                 )
-                return losses["loss_sum"], losses
+                z = self._sample_latent_on_device(keys[1], batch_size)
+                rot = self._sample_rotations_on_device(keys[2], batch_size)
+                fake_imgs = self._gen_apply(gen_params["generator"], z, rot)
 
-            (_, d_losses), d_grads = jax.value_and_grad(d_loss, has_aux=True)(
-                state.discriminator.params
-            )
-            new_discriminator = state.discriminator.apply_gradients(d_grads, self.discriminator_tx)
+                def d_loss(params, real_imgs=real_imgs, fake_imgs=fake_imgs):
+                    losses = compute_discriminator_loss(
+                        lambda x: self._disc_apply(params, x), real_imgs, fake_imgs,
+                        r1_heads=cfg.get("r1_heads", "all"),
+                    )
+                    return losses["loss_sum"], losses
 
-            # ---- synth-discriminator update (synth set vs G(E_s(params))) ----
-            synth_real = self._to_unit_range(batch["synth_d_real_imgs"])
-            synth_real = batched_hflip(
-                synth_real, jax.random.bernoulli(keys[3], 0.5, (batch_size,))
-            )
-            synth_latents_d = self._synth_enc_apply(
-                state.generator.params["synthetic_encoder"], batch["synth_d_facemodel"]
-            )
-            synth_fake = self._gen_apply(
-                state.generator.params["generator"], synth_latents_d, batch["synth_d_rotations"]
-            )
-
-            def synth_d_loss(params):
-                losses = compute_discriminator_loss(
-                    lambda x: self._synth_disc_apply(params, x), synth_real, synth_fake,
-                    r1_heads=cfg.get("r1_heads", "all"),
+                (_, d_losses), d_grads = jax.value_and_grad(d_loss, has_aux=True)(
+                    discriminator.params
                 )
-                return losses["loss_sum"], losses
+                discriminator = discriminator.apply_gradients(d_grads, self.discriminator_tx)
 
-            (_, synth_d_losses), sd_grads = jax.value_and_grad(synth_d_loss, has_aux=True)(
-                state.synth_discriminator.params
-            )
-            new_synth_discriminator = state.synth_discriminator.apply_gradients(
-                sd_grads, self.discriminator_tx
-            )
-
-            # ---- latent-discriminator update (z ~ prior vs E_s(params)) ----
-            real_latents = self._sample_latent_on_device(keys[4], batch_size)
-            fake_latents = self._synth_enc_apply(
-                state.generator.params["synthetic_encoder"], batch["latent_d_facemodel"]
-            )
-
-            def latent_d_loss(params):
-                losses = compute_latent_discriminator_loss(
-                    lambda zz: self._latent_disc_apply(params, zz), real_latents, fake_latents
+                # ---- synth-discriminator update (synth set vs G(E_s(params))) ----
+                synth_real = self._to_unit_range(b["synth_d_real_imgs"])
+                synth_real = batched_hflip(
+                    synth_real, jax.random.bernoulli(keys[3], 0.5, (batch_size,))
                 )
-                return losses["loss_sum"], losses
+                synth_latents_d = self._synth_enc_apply(
+                    gen_params["synthetic_encoder"], b["synth_d_facemodel"]
+                )
+                synth_fake = self._gen_apply(
+                    gen_params["generator"], synth_latents_d, b["synth_d_rotations"]
+                )
 
-            (_, latent_d_losses), ld_grads = jax.value_and_grad(latent_d_loss, has_aux=True)(
-                state.latent_discriminator.params
-            )
-            new_latent_discriminator = state.latent_discriminator.apply_gradients(
-                ld_grads, self.discriminator_tx
-            )
+                def synth_d_loss(params, synth_real=synth_real, synth_fake=synth_fake):
+                    losses = compute_discriminator_loss(
+                        lambda x: self._synth_disc_apply(params, x), synth_real, synth_fake,
+                        r1_heads=cfg.get("r1_heads", "all"),
+                    )
+                    return losses["loss_sum"], losses
 
-            # ---- generator / regressor / synth-encoder joint update ----
-            n_synth = batch["g_gt_imgs"].shape[0]
-            n_real = batch_size - n_synth
-            z_real = self._sample_latent_on_device(keys[5], n_real)
-            rot_real = self._sample_rotations_on_device(keys[6], n_real)
+                (_, synth_d_losses), sd_grads = jax.value_and_grad(synth_d_loss, has_aux=True)(
+                    synth_discriminator.params
+                )
+                synth_discriminator = synth_discriminator.apply_gradients(
+                    sd_grads, self.discriminator_tx
+                )
 
-            (_, g_losses), g_grads = jax.value_and_grad(g_step_losses, has_aux=True)(
-                state.generator.params,
-                new_discriminator.params,
-                new_synth_discriminator.params,
-                new_latent_discriminator.params,
-                vgg_params,
-                batch,
-                z_real,
-                rot_real,
-            )
-            new_generator = state.generator.apply_gradients(g_grads, self.generator_tx)
+                # ---- latent-discriminator update (z ~ prior vs E_s(params)) ----
+                real_latents = self._sample_latent_on_device(keys[4], batch_size)
+                fake_latents = self._synth_enc_apply(
+                    gen_params["synthetic_encoder"], b["latent_d_facemodel"]
+                )
+
+                def latent_d_loss(params, real_latents=real_latents, fake_latents=fake_latents):
+                    losses = compute_latent_discriminator_loss(
+                        lambda zz: self._latent_disc_apply(params, zz), real_latents, fake_latents
+                    )
+                    return losses["loss_sum"], losses
+
+                (_, latent_d_losses), ld_grads = jax.value_and_grad(latent_d_loss, has_aux=True)(
+                    latent_discriminator.params
+                )
+                latent_discriminator = latent_discriminator.apply_gradients(
+                    ld_grads, self.discriminator_tx
+                )
+
+            # ---- generator / regressor / synth-encoder joint update(s) ----
+            generator = state.generator
+            for u in range(n_g_updates):
+                keys = jax.random.split(g_keys[u], 2)
+                gb = sub_batch(batch, u, g_fields=True)
+                n_synth = gb["g_gt_imgs"].shape[0]
+                n_real = batch_size - n_synth
+                z_real = self._sample_latent_on_device(keys[0], n_real)
+                rot_real = self._sample_rotations_on_device(keys[1], n_real)
+
+                (_, g_losses), g_grads = jax.value_and_grad(g_step_losses, has_aux=True)(
+                    generator.params,
+                    discriminator.params,
+                    synth_discriminator.params,
+                    latent_discriminator.params,
+                    vgg_params,
+                    gb,
+                    z_real,
+                    rot_real,
+                )
+                generator = generator.apply_gradients(g_grads, self.generator_tx)
 
             new_smoothed = ema_update(
-                state.generator_smoothed, new_generator.params["generator"]
+                state.generator_smoothed, generator.params["generator"]
             )
 
             new_state = FirstStageState(
-                generator=new_generator,
-                discriminator=new_discriminator,
-                synth_discriminator=new_synth_discriminator,
-                latent_discriminator=new_latent_discriminator,
+                generator=generator,
+                discriminator=discriminator,
+                synth_discriminator=synth_discriminator,
+                latent_discriminator=latent_discriminator,
                 generator_smoothed=new_smoothed,
             )
             all_losses = {
@@ -518,7 +555,42 @@ class ConfigNetFirstStage:
             for name in self.config["facemodel_inputs"].keys()
         )
 
+    def _n_player_updates(self) -> Tuple[int, int]:
+        return (int(self.config.get("n_discriminator_updates", 1)),
+                int(self.config.get("n_generator_updates", 1)))
+
     def _sample_host_batch(self, real_training_set, synth_training_set) -> Dict[str, Any]:
+        """Assemble the (possibly multi-sub-update) host batch and shard it.
+
+        When ``n_discriminator_updates``/``n_generator_updates`` > 1 each
+        sub-update gets its own freshly sampled batch, stacked along a new
+        leading axis (discriminator-player fields carry n_d entries,
+        generator fields n_g) — matching the reference's per-sub-step
+        resampling (confignet_first_stage.py:604-612)."""
+        n_d, n_g = self._n_player_updates()
+        if n_d == 1 and n_g == 1:
+            batch = self._sample_host_batch_single(real_training_set, synth_training_set)
+            batch_axis = 0
+        else:
+            draws = [
+                self._sample_host_batch_single(real_training_set, synth_training_set)
+                for _ in range(max(n_d, n_g))
+            ]
+            batch = {
+                k: jax.tree_util.tree_map(
+                    lambda *xs: np.stack(xs),
+                    *[d[k] for d in draws[: (n_g if k.startswith("g_") else n_d)]],
+                )
+                for k in draws[0]
+            }
+            batch_axis = 1
+        if self.mesh is not None:
+            from confignet_tpu.parallel import shard_batch
+
+            batch = shard_batch(self.mesh, batch, batch_axis=batch_axis)
+        return batch
+
+    def _sample_host_batch_single(self, real_training_set, synth_training_set) -> Dict[str, Any]:
         from confignet_tpu.runtime import gather_images, gather_rows
 
         # Runs on the prefetch thread: use a dedicated RandomState (seeded
@@ -529,11 +601,18 @@ class ConfigNetFirstStage:
         batch_size = self.config["batch_size"]
         n_synth = batch_size // 2
 
-        d_idx = rng.randint(0, real_training_set.imgs.shape[0], batch_size)
-        sd_idx = rng.randint(0, synth_training_set.imgs.shape[0], batch_size)
-        sd_fm_idx = rng.randint(0, synth_training_set.imgs.shape[0], batch_size)
-        ld_fm_idx = rng.randint(0, synth_training_set.imgs.shape[0], batch_size)
-        g_idx = rng.randint(0, synth_training_set.imgs.shape[0], n_synth)
+        # Multi-host: every process draws identical GLOBAL index arrays
+        # (lockstep RNG), then gathers only its own row range; shard_batch
+        # assembles the global array from the per-process shards.
+        from confignet_tpu.parallel import process_slice
+
+        sl = process_slice(batch_size)
+        sl_g = process_slice(n_synth)
+        d_idx = rng.randint(0, real_training_set.imgs.shape[0], batch_size)[sl]
+        sd_idx = rng.randint(0, synth_training_set.imgs.shape[0], batch_size)[sl]
+        sd_fm_idx = rng.randint(0, synth_training_set.imgs.shape[0], batch_size)[sl]
+        ld_fm_idx = rng.randint(0, synth_training_set.imgs.shape[0], batch_size)[sl]
+        g_idx = rng.randint(0, synth_training_set.imgs.shape[0], n_synth)[sl_g]
 
         batch = {
             "d_real_imgs": gather_images(real_training_set.imgs, d_idx),
@@ -550,10 +629,6 @@ class ConfigNetFirstStage:
             "g_gt_imgs": gather_images(synth_training_set.imgs, g_idx),
             "g_eye_masks": gather_rows(np.asarray(synth_training_set.eye_masks), g_idx),
         }
-        if self.mesh is not None:
-            from confignet_tpu.parallel import shard_batch
-
-            batch = shard_batch(self.mesh, batch)
         return batch
 
     # ------------------------------------------------------------------
@@ -660,12 +735,19 @@ class ConfigNetFirstStage:
             depth=self.config.get("prefetch_depth", 2),
             device_put=self.mesh is None,  # shard_batch already placed mesh batches
         )
+        if self.config.get("async_checkpointing", True):
+            from confignet_tpu.core.async_checkpoint import CheckpointWorker
+
+            self._checkpoint_worker = CheckpointWorker()
         try:
             self._train_loop(prefetcher, flusher, start_step, n_steps, vgg_params,
                              image_p, metrics_p, window_start, window_len,
                              output_dir, log_dir)
         finally:
             prefetcher.close()
+            if self._checkpoint_worker is not None:
+                worker, self._checkpoint_worker = self._checkpoint_worker, None
+                worker.close()  # runs pending jobs, re-raises failures
 
     def _train_loop(self, prefetcher, flusher, start_step, n_steps, vgg_params,
                     image_p, metrics_p, window_start, window_len,
@@ -709,26 +791,81 @@ class ConfigNetFirstStage:
     # ------------------------------------------------------------------
 
     def run_checkpoints(self, output_dir: str, iteration_time: float) -> None:
-        checkpoint_start = time.perf_counter()
+        """Dispatch the checkpoint block — inline (reference semantics,
+        confignet_first_stage.py:616-626) or, with ``async_checkpointing``
+        on, to the background worker from donation-safe device snapshots so
+        the step loop keeps dispatching."""
         step_number = self.get_training_step_number()
+        image_due = step_number % self.config["image_checkpoint_period"] == 0
+        metrics_due = step_number % self.config["metrics_checkpoint_period"] == 0
+        if not (image_due or metrics_due):
+            return
 
-        if step_number % self.config["image_checkpoint_period"] == 0:
-            log_loss_vals(self.synth_d_losses, output_dir, step_number,
+        if self._checkpoint_worker is None:
+            losses = {"g": self.g_losses, "d": self.d_losses,
+                      "synth_d": self.synth_d_losses, "latent_d": self.latent_d_losses}
+            self._run_checkpoints_body(
+                output_dir, iteration_time, step_number, image_due, metrics_due,
+                losses, self._get_device_weights() if metrics_due else None)
+            return
+
+        # HBM copies (one jitted dispatch per tree structure): the worker
+        # must never read live state — the next train step donates it.
+        if self._snapshot_fn is None:
+            self._snapshot_fn = jax.jit(
+                lambda t: jax.tree_util.tree_map(jnp.copy, t))
+        device_weights = self._snapshot_fn(self._get_device_weights())
+        infer_snap = {
+            "generator_smoothed": device_weights["generator_smoothed"],
+            "synthetic_encoder": device_weights["synthetic_encoder"],
+        }
+        if "real_encoder" in device_weights:
+            infer_snap["real_encoder"] = device_weights["real_encoder"]
+        # Loss histories are lists the main thread keeps appending to.
+        losses = {
+            "g": {k: list(v) for k, v in self.g_losses.items()},
+            "d": {k: list(v) for k, v in self.d_losses.items()},
+            "synth_d": {k: list(v) for k, v in self.synth_d_losses.items()},
+            "latent_d": {k: list(v) for k, v in self.latent_d_losses.items()},
+        }
+
+        def job():
+            self._inference_params_override = infer_snap
+            try:
+                self._run_checkpoints_body(
+                    output_dir, iteration_time, step_number, image_due,
+                    metrics_due, losses, device_weights if metrics_due else None)
+            finally:
+                self._inference_params_override = None
+
+        self._checkpoint_worker.submit(job)
+
+    def _run_checkpoints_body(self, output_dir: str, iteration_time: float,
+                              step_number: int, image_due: bool, metrics_due: bool,
+                              losses: Dict[str, Dict], device_weights) -> None:
+        checkpoint_start = time.perf_counter()
+
+        if image_due:
+            log_loss_vals(losses["synth_d"], output_dir, step_number,
                           "synth_discriminator_", self.log_writer, self.aml_sink)
-            log_loss_vals(self.latent_d_losses, output_dir, step_number,
+            log_loss_vals(losses["latent_d"], output_dir, step_number,
                           "latent_discriminator_", self.log_writer, self.aml_sink)
 
-        if step_number % self.config["metrics_checkpoint_period"] == 0:
-            self.calculate_metrics(output_dir)
+        if metrics_due:
+            self.calculate_metrics(output_dir, step_number=step_number)
             checkpoint_dir = os.path.join(output_dir, "checkpoints")
             os.makedirs(checkpoint_dir, exist_ok=True)
-            self.save(checkpoint_dir, str(step_number).zfill(6))
+            log_dict = {"g_losses": losses["g"], "d_losses": losses["d"],
+                        "metrics": self.metrics}
+            self._write_checkpoint_files(
+                jax.device_get(device_weights), log_dict,
+                checkpoint_dir, str(step_number).zfill(6))
 
-        if step_number % self.config["image_checkpoint_period"] == 0:
-            self.image_checkpoint(output_dir)
-            log_loss_vals(self.g_losses, output_dir, step_number, "generator_",
+        if image_due:
+            self.image_checkpoint(output_dir, step_number=step_number)
+            log_loss_vals(losses["g"], output_dir, step_number, "generator_",
                           self.log_writer, self.aml_sink)
-            log_loss_vals(self.d_losses, output_dir, step_number, "discriminator_",
+            log_loss_vals(losses["d"], output_dir, step_number, "discriminator_",
                           self.log_writer, self.aml_sink)
 
             checkpoint_time = time.perf_counter() - checkpoint_start
@@ -741,8 +878,9 @@ class ConfigNetFirstStage:
                 self.aml_sink("Training iter time", iteration_time)
                 self.aml_sink("Checkpoint time", checkpoint_time)
 
-    def image_checkpoint(self, output_dir: str) -> None:
-        step_number = self.get_training_step_number()
+    def image_checkpoint(self, output_dir: str, step_number: int = None) -> None:
+        if step_number is None:
+            step_number = self.get_training_step_number()
         viz = self._checkpoint_visualization_input
         generated = self.generate_images(viz["latent"], viz["rotation"])
         combined = build_image_matrix(generated, self.n_checkpoint_rotations, self.n_checkpoint_samples)
@@ -752,10 +890,11 @@ class ConfigNetFirstStage:
         self._imwrite(os.path.join(img_dir, str(step_number).zfill(6) + ".png"), combined)
         if self.log_writer is not None:
             self.log_writer.image("generated_images", combined, step_number)
-        self.synth_data_image_checkpoint(output_dir)
+        self.synth_data_image_checkpoint(output_dir, step_number=step_number)
 
-    def synth_data_image_checkpoint(self, output_dir: str) -> None:
-        step_number = self.get_training_step_number()
+    def synth_data_image_checkpoint(self, output_dir: str, step_number: int = None) -> None:
+        if step_number is None:
+            step_number = self.get_training_step_number()
         viz = self._checkpoint_visualization_input
         generated = self.generate_images_from_facemodel(viz["facemodel_params"], viz["rotation"])
         generated = np.vstack((viz["gt_imgs"].astype(np.uint8), generated))
@@ -783,13 +922,13 @@ class ConfigNetFirstStage:
         m = self._generator_input_for_metrics
         return self.generate_images(m["latent"], m["rotation"])
 
-    def calculate_metrics(self, output_dir: str) -> None:
+    def calculate_metrics(self, output_dir: str, step_number: int = None) -> None:
         if self._inception_metric_object is None:
             return
+        if step_number is None:
+            step_number = self.get_training_step_number()
         generated = self.generate_output_for_metrics()
-        self.metrics.setdefault("training_step_number", []).append(
-            self.get_training_step_number()
-        )
+        self.metrics.setdefault("training_step_number", []).append(step_number)
         self._inception_metric_object.update_and_log_metrics(
             generated, self.metrics, output_dir, self.aml_sink, self.log_writer
         )
@@ -882,6 +1021,8 @@ class ConfigNetFirstStage:
         return np.asarray(result)
 
     def _synth_encoder_params(self):
+        if self._inference_params_override is not None:
+            return self._inference_params_override["synthetic_encoder"]
         return self.state.generator.params["synthetic_encoder"]
 
     # ------------------------------------------------------------------
@@ -900,6 +1041,8 @@ class ConfigNetFirstStage:
         return self._generate_fn_cache[chunk]
 
     def _generator_params_for_inference(self):
+        if self._inference_params_override is not None:
+            return self._inference_params_override["generator_smoothed"]
         return self.state.generator_smoothed
 
     def generate_images(self, latent_vectors, rotations, batch_chunk: int = 32) -> np.ndarray:
@@ -940,8 +1083,9 @@ class ConfigNetFirstStage:
     # Weights / checkpoint IO
     # ------------------------------------------------------------------
 
-    def get_weights(self) -> Dict[str, Any]:
-        state = jax.device_get(self.state)
+    def _get_device_weights(self) -> Dict[str, Any]:
+        """The get_weights dict, but as live device trees (no host fetch)."""
+        state = self.state
         return {
             "generator": state.generator.params["generator"],
             "generator_smoothed": state.generator_smoothed,
@@ -951,6 +1095,9 @@ class ConfigNetFirstStage:
             "synth_discriminator": state.synth_discriminator.params,
             "latent_discriminator": state.latent_discriminator.params,
         }
+
+    def get_weights(self) -> Dict[str, Any]:
+        return jax.device_get(self._get_device_weights())
 
     def set_weights(self, weights: Dict[str, Any]) -> None:
         """Replace model parameters (optimizer state is reset)."""
@@ -973,8 +1120,15 @@ class ConfigNetFirstStage:
         )
 
     def save(self, output_dir: str, output_filename: str) -> None:
+        self._write_checkpoint_files(
+            self.get_weights(), self.get_log_dict(), output_dir, output_filename)
+
+    def _write_checkpoint_files(self, weights: Dict[str, Any], log_dict: Dict[str, Any],
+                                output_dir: str, output_filename: str) -> None:
+        """The IO half of ``save``, callable from the checkpoint worker with
+        pre-snapshotted weights/logs."""
         os.makedirs(output_dir, exist_ok=True)
-        model_io.save_model_weights(self.get_weights(), output_dir, output_filename)
+        model_io.save_model_weights(weights, output_dir, output_filename)
         with open(os.path.join(output_dir, output_filename + ".json"), "w") as fp:
             json.dump(self._json_safe_config(), fp, indent=4)
         with open(
@@ -983,7 +1137,7 @@ class ConfigNetFirstStage:
             pickle.dump(self.facemodel_param_distributions, fp)
         log_path = os.path.join(output_dir, output_filename + "_log.json")
         with open(log_path, "w") as fp:
-            json.dump(self.get_log_dict(), fp)
+            json.dump(log_dict, fp)
 
     def _json_safe_config(self) -> Dict[str, Any]:
         def sanitize(obj):
@@ -1001,11 +1155,22 @@ class ConfigNetFirstStage:
 
     @classmethod
     def load(cls, file_path: str) -> "ConfigNetFirstStage":
-        with open(file_path, "r") as fp:
-            config = json.load(fp)
-        model = cls(config)
-        weights = model_io.load_model_weights(os.path.splitext(file_path)[0] + ".npz")
-        model.set_weights(weights)
+        """Load a checkpoint — ours (pytree-path npz) or an official
+        reference release (Keras weight-list npz, e.g. the published
+        ``model.zip`` contents): the npz key layout is sniffed and
+        reference-format files are routed through the strict Keras-order
+        importer, so every entry point (demo, eval CLIs, load_confignet)
+        works unmodified against either format."""
+        npz_path = os.path.splitext(file_path)[0] + ".npz"
+        if model_io.npz_is_reference_format(npz_path):
+            from confignet_tpu.core.reference_import import load_reference_confignet
+
+            model = load_reference_confignet(file_path)
+        else:
+            with open(file_path, "r") as fp:
+                config = json.load(fp)
+            model = cls(config)
+            model.set_weights(model_io.load_model_weights(npz_path))
 
         log_file = os.path.splitext(file_path)[0] + "_log.json"
         if os.path.exists(log_file):
@@ -1014,8 +1179,11 @@ class ConfigNetFirstStage:
 
         distr_file = os.path.splitext(file_path)[0] + "_facemodel_distr.pck"
         if os.path.exists(distr_file):
-            with open(distr_file, "rb") as fp:
-                model.facemodel_param_distributions = pickle.load(fp)
+            # Handles pickles from this repo AND from the original TF repo
+            # (whose distribution classes live at confignet.* module paths).
+            from confignet_tpu.core.reference_import import load_reference_pickle
+
+            model.facemodel_param_distributions = load_reference_pickle(distr_file)
         else:
             print("WARNING: facemodel param distributions not loaded")
         return model

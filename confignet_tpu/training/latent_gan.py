@@ -325,8 +325,15 @@ class LatentGAN:
 
     @classmethod
     def load(cls, file_path: str) -> "LatentGAN":
+        """Load ours or a reference-release LatentGAN checkpoint (sniffed by
+        npz key layout, like ConfigNetFirstStage.load)."""
+        npz_path = os.path.splitext(file_path)[0] + ".npz"
+        if model_io.npz_is_reference_format(npz_path):
+            from confignet_tpu.core.reference_import import load_reference_latent_gan
+
+            return load_reference_latent_gan(file_path)
         with open(file_path, "r") as fp:
             config = json.load(fp)
         gan = cls(config)
-        gan.set_weights(model_io.load_model_weights(os.path.splitext(file_path)[0] + ".npz"))
+        gan.set_weights(model_io.load_model_weights(npz_path))
         return gan

@@ -114,9 +114,9 @@ class ConfigNet(ConfigNetFirstStage):
     # Weights IO (adds the encoder tree; accepts stage-1 weight dicts)
     # ------------------------------------------------------------------
 
-    def get_weights(self) -> Dict[str, Any]:
-        weights = super().get_weights()
-        weights["real_encoder"] = jax.device_get(self.state.generator.params["real_encoder"])
+    def _get_device_weights(self) -> Dict[str, Any]:
+        weights = super()._get_device_weights()
+        weights["real_encoder"] = self.state.generator.params["real_encoder"]
         return weights
 
     def set_weights(self, weights: Dict[str, Any]) -> None:
@@ -207,104 +207,131 @@ class ConfigNet(ConfigNetFirstStage):
             losses["loss_sum"] = sum(losses.values())
             return losses["loss_sum"], losses
 
+        n_d_updates = int(cfg.get("n_discriminator_updates", 1))
+        n_g_updates = int(cfg.get("n_generator_updates", 1))
+        # Same multi-sub-update contract as stage 1: fresh stacked batches
+        # per sub-update (reference confignet_second_stage.py:280-287),
+        # statically unrolled inside the one jitted program.
+        multi = n_d_updates > 1 or n_g_updates > 1
+
+        def sub_batch(batch, u, g_fields):
+            picked = {k: v for k, v in batch.items() if k.startswith("g_") == g_fields}
+            if not multi:
+                return picked
+            return jax.tree_util.tree_map(lambda x: x[u], picked)
+
         def train_step(state: FirstStageState, key, batch, vgg_params, vggface_params):
-            keys = jax.random.split(key, 8)
-            batch_size = batch["d_real_imgs"].shape[0]
+            d_keys = jax.random.split(jax.random.fold_in(key, 0), n_d_updates)
+            g_keys = jax.random.split(jax.random.fold_in(key, 1), n_g_updates)
+            batch_size = batch["d_real_imgs"].shape[1 if multi else 0]
 
-            # ---- image-discriminator: real vs G(encode(real)) ----
-            real_imgs = self._to_unit_range(batch["d_real_imgs"])
-            real_imgs = batched_hflip(real_imgs, jax.random.bernoulli(keys[0], 0.5, (batch_size,)))
-            input_imgs = self._to_unit_range(batch["d_input_imgs"])
-            enc_latents, enc_rotations = self._encoder_apply(
-                state.generator.params["real_encoder"], input_imgs
-            )
-            fake_imgs = self._gen_apply(
-                state.generator.params["generator"], enc_latents, enc_rotations
-            )
+            discriminator = state.discriminator
+            synth_discriminator = state.synth_discriminator
+            latent_discriminator = state.latent_discriminator
+            gen_params = state.generator.params
 
-            def d_loss(params):
-                losses = compute_discriminator_loss(
-                    lambda x: self._disc_apply(params, x), real_imgs, fake_imgs,
-                    r1_heads=cfg.get("r1_heads", "all"),
+            for u in range(n_d_updates):
+                keys = jax.random.split(d_keys[u], 3)
+                b = sub_batch(batch, u, g_fields=False)
+
+                # ---- image-discriminator: real vs G(encode(real)) ----
+                real_imgs = self._to_unit_range(b["d_real_imgs"])
+                real_imgs = batched_hflip(real_imgs, jax.random.bernoulli(keys[0], 0.5, (batch_size,)))
+                input_imgs = self._to_unit_range(b["d_input_imgs"])
+                enc_latents, enc_rotations = self._encoder_apply(
+                    gen_params["real_encoder"], input_imgs
                 )
-                return losses["loss_sum"], losses
-
-            (_, d_losses), d_grads = jax.value_and_grad(d_loss, has_aux=True)(
-                state.discriminator.params
-            )
-            new_discriminator = state.discriminator.apply_gradients(d_grads, self.discriminator_tx)
-
-            # ---- synth-discriminator (same as stage 1) ----
-            synth_real = self._to_unit_range(batch["synth_d_real_imgs"])
-            synth_real = batched_hflip(synth_real, jax.random.bernoulli(keys[1], 0.5, (batch_size,)))
-            synth_latents_d = self._synth_enc_apply(
-                state.generator.params["synthetic_encoder"], batch["synth_d_facemodel"]
-            )
-            synth_fake = self._gen_apply(
-                state.generator.params["generator"], synth_latents_d, batch["synth_d_rotations"]
-            )
-
-            def synth_d_loss(params):
-                losses = compute_discriminator_loss(
-                    lambda x: self._synth_disc_apply(params, x), synth_real, synth_fake,
-                    r1_heads=cfg.get("r1_heads", "all"),
+                fake_imgs = self._gen_apply(
+                    gen_params["generator"], enc_latents, enc_rotations
                 )
-                return losses["loss_sum"], losses
 
-            (_, synth_d_losses), sd_grads = jax.value_and_grad(synth_d_loss, has_aux=True)(
-                state.synth_discriminator.params
-            )
-            new_synth_discriminator = state.synth_discriminator.apply_gradients(
-                sd_grads, self.discriminator_tx
-            )
+                def d_loss(params, real_imgs=real_imgs, fake_imgs=fake_imgs):
+                    losses = compute_discriminator_loss(
+                        lambda x: self._disc_apply(params, x), real_imgs, fake_imgs,
+                        r1_heads=cfg.get("r1_heads", "all"),
+                    )
+                    return losses["loss_sum"], losses
 
-            # ---- latent-discriminator: encoder latents vs synth latents ----
-            ld_real_imgs = self._to_unit_range(batch["latent_d_real_imgs"])
-            ld_real_imgs = batched_hflip(
-                ld_real_imgs, jax.random.bernoulli(keys[2], 0.5, (batch_size,))
-            )
-            encoder_latents, _ = self._encoder_apply(
-                state.generator.params["real_encoder"], ld_real_imgs
-            )
-            fake_latents = self._synth_enc_apply(
-                state.generator.params["synthetic_encoder"], batch["latent_d_facemodel"]
-            )
-
-            def latent_d_loss(params):
-                losses = compute_latent_discriminator_loss(
-                    lambda z: self._latent_disc_apply(params, z), encoder_latents, fake_latents
+                (_, d_losses), d_grads = jax.value_and_grad(d_loss, has_aux=True)(
+                    discriminator.params
                 )
-                return losses["loss_sum"], losses
+                discriminator = discriminator.apply_gradients(d_grads, self.discriminator_tx)
 
-            (_, latent_d_losses), ld_grads = jax.value_and_grad(latent_d_loss, has_aux=True)(
-                state.latent_discriminator.params
-            )
-            new_latent_discriminator = state.latent_discriminator.apply_gradients(
-                ld_grads, self.discriminator_tx
-            )
+                # ---- synth-discriminator (same as stage 1) ----
+                synth_real = self._to_unit_range(b["synth_d_real_imgs"])
+                synth_real = batched_hflip(synth_real, jax.random.bernoulli(keys[1], 0.5, (batch_size,)))
+                synth_latents_d = self._synth_enc_apply(
+                    gen_params["synthetic_encoder"], b["synth_d_facemodel"]
+                )
+                synth_fake = self._gen_apply(
+                    gen_params["generator"], synth_latents_d, b["synth_d_rotations"]
+                )
 
-            # ---- generator + encoder + regressor + synth-encoder update ----
-            flip_mask = jax.random.bernoulli(
-                keys[3], 0.5, (batch["g_real_imgs"].shape[0],)
-            )
-            (_, g_losses), g_grads = jax.value_and_grad(g_step_losses, has_aux=True)(
-                state.generator.params,
-                new_discriminator.params,
-                new_synth_discriminator.params,
-                new_latent_discriminator.params,
-                vgg_params,
-                vggface_params,
-                batch,
-                flip_mask,
-            )
-            new_generator = state.generator.apply_gradients(g_grads, self.generator_tx)
-            new_smoothed = ema_update(state.generator_smoothed, new_generator.params["generator"])
+                def synth_d_loss(params, synth_real=synth_real, synth_fake=synth_fake):
+                    losses = compute_discriminator_loss(
+                        lambda x: self._synth_disc_apply(params, x), synth_real, synth_fake,
+                        r1_heads=cfg.get("r1_heads", "all"),
+                    )
+                    return losses["loss_sum"], losses
+
+                (_, synth_d_losses), sd_grads = jax.value_and_grad(synth_d_loss, has_aux=True)(
+                    synth_discriminator.params
+                )
+                synth_discriminator = synth_discriminator.apply_gradients(
+                    sd_grads, self.discriminator_tx
+                )
+
+                # ---- latent-discriminator: encoder latents vs synth latents ----
+                ld_real_imgs = self._to_unit_range(b["latent_d_real_imgs"])
+                ld_real_imgs = batched_hflip(
+                    ld_real_imgs, jax.random.bernoulli(keys[2], 0.5, (batch_size,))
+                )
+                encoder_latents, _ = self._encoder_apply(
+                    gen_params["real_encoder"], ld_real_imgs
+                )
+                fake_latents = self._synth_enc_apply(
+                    gen_params["synthetic_encoder"], b["latent_d_facemodel"]
+                )
+
+                def latent_d_loss(params, encoder_latents=encoder_latents, fake_latents=fake_latents):
+                    losses = compute_latent_discriminator_loss(
+                        lambda z: self._latent_disc_apply(params, z), encoder_latents, fake_latents
+                    )
+                    return losses["loss_sum"], losses
+
+                (_, latent_d_losses), ld_grads = jax.value_and_grad(latent_d_loss, has_aux=True)(
+                    latent_discriminator.params
+                )
+                latent_discriminator = latent_discriminator.apply_gradients(
+                    ld_grads, self.discriminator_tx
+                )
+
+            # ---- generator + encoder + regressor + synth-encoder update(s) ----
+            generator = state.generator
+            for u in range(n_g_updates):
+                gb = sub_batch(batch, u, g_fields=True)
+                flip_mask = jax.random.bernoulli(
+                    g_keys[u], 0.5, (gb["g_real_imgs"].shape[0],)
+                )
+                (_, g_losses), g_grads = jax.value_and_grad(g_step_losses, has_aux=True)(
+                    generator.params,
+                    discriminator.params,
+                    synth_discriminator.params,
+                    latent_discriminator.params,
+                    vgg_params,
+                    vggface_params,
+                    gb,
+                    flip_mask,
+                )
+                generator = generator.apply_gradients(g_grads, self.generator_tx)
+
+            new_smoothed = ema_update(state.generator_smoothed, generator.params["generator"])
 
             new_state = FirstStageState(
-                generator=new_generator,
-                discriminator=new_discriminator,
-                synth_discriminator=new_synth_discriminator,
-                latent_discriminator=new_latent_discriminator,
+                generator=generator,
+                discriminator=discriminator,
+                synth_discriminator=synth_discriminator,
+                latent_discriminator=latent_discriminator,
                 generator_smoothed=new_smoothed,
             )
             return new_state, {
@@ -320,7 +347,7 @@ class ConfigNet(ConfigNetFirstStage):
     # Host batch assembly (stage 2 needs real-image batches for more steps)
     # ------------------------------------------------------------------
 
-    def _sample_host_batch(self, real_training_set, synth_training_set) -> Dict[str, Any]:
+    def _sample_host_batch_single(self, real_training_set, synth_training_set) -> Dict[str, Any]:
         from confignet_tpu.runtime import gather_images, gather_rows
 
         # Same contract as stage 1 (first_stage.py:524-528): the dedicated
@@ -333,14 +360,21 @@ class ConfigNet(ConfigNetFirstStage):
         n_synth = batch_size // 2
         n_real = batch_size - n_synth
 
-        d_real_idx = rng.randint(0, real_training_set.imgs.shape[0], batch_size)
-        d_input_idx = rng.randint(0, real_training_set.imgs.shape[0], batch_size)
-        sd_idx = rng.randint(0, synth_training_set.imgs.shape[0], batch_size)
-        sd_fm_idx = rng.randint(0, synth_training_set.imgs.shape[0], batch_size)
-        ld_real_idx = rng.randint(0, real_training_set.imgs.shape[0], batch_size)
-        ld_fm_idx = rng.randint(0, synth_training_set.imgs.shape[0], batch_size)
-        g_idx = rng.randint(0, synth_training_set.imgs.shape[0], n_synth)
-        g_real_idx = rng.randint(0, real_training_set.imgs.shape[0], n_real)
+        # Multi-host: identical global draws, per-process row gathers (see
+        # first_stage._sample_host_batch_single / parallel.process_slice).
+        from confignet_tpu.parallel import process_slice
+
+        sl = process_slice(batch_size)
+        sl_g = process_slice(n_synth)
+        sl_r = process_slice(n_real)
+        d_real_idx = rng.randint(0, real_training_set.imgs.shape[0], batch_size)[sl]
+        d_input_idx = rng.randint(0, real_training_set.imgs.shape[0], batch_size)[sl]
+        sd_idx = rng.randint(0, synth_training_set.imgs.shape[0], batch_size)[sl]
+        sd_fm_idx = rng.randint(0, synth_training_set.imgs.shape[0], batch_size)[sl]
+        ld_real_idx = rng.randint(0, real_training_set.imgs.shape[0], batch_size)[sl]
+        ld_fm_idx = rng.randint(0, synth_training_set.imgs.shape[0], batch_size)[sl]
+        g_idx = rng.randint(0, synth_training_set.imgs.shape[0], n_synth)[sl_g]
+        g_real_idx = rng.randint(0, real_training_set.imgs.shape[0], n_real)[sl_r]
 
         batch = {
             "d_real_imgs": gather_images(real_training_set.imgs, d_real_idx),
@@ -360,10 +394,6 @@ class ConfigNet(ConfigNetFirstStage):
             "g_eye_masks": gather_rows(np.asarray(synth_training_set.eye_masks), g_idx),
             "g_real_imgs": gather_images(real_training_set.imgs, g_real_idx),
         }
-        if self.mesh is not None:
-            from confignet_tpu.parallel import shard_batch
-
-            batch = shard_batch(self.mesh, batch)
         return batch
 
     # ------------------------------------------------------------------
@@ -429,6 +459,10 @@ class ConfigNet(ConfigNetFirstStage):
             depth=self.config.get("prefetch_depth", 2),
             device_put=self.mesh is None,
         )
+        if self.config.get("async_checkpointing", True):
+            from confignet_tpu.core.async_checkpoint import CheckpointWorker
+
+            self._checkpoint_worker = CheckpointWorker()
         try:
             self._stage2_train_loop(
                 prefetcher, flusher, start_step, n_steps, vgg_params,
@@ -436,6 +470,9 @@ class ConfigNet(ConfigNetFirstStage):
                 output_dir)
         finally:
             prefetcher.close()
+            if self._checkpoint_worker is not None:
+                worker, self._checkpoint_worker = self._checkpoint_worker, None
+                worker.close()  # runs pending jobs, re-raises failures
 
     def _stage2_train_loop(self, prefetcher, flusher, start_step, n_steps,
                            vgg_params, vggface_params, image_p, metrics_p,
@@ -482,12 +519,13 @@ class ConfigNet(ConfigNetFirstStage):
     # Checkpoint visualization: autoencoding panel
     # ------------------------------------------------------------------
 
-    def image_checkpoint(self, output_dir: str) -> None:
-        self.synth_data_image_checkpoint(output_dir)
+    def image_checkpoint(self, output_dir: str, step_number: int = None) -> None:
+        if step_number is None:
+            step_number = self.get_training_step_number()
+        self.synth_data_image_checkpoint(output_dir, step_number=step_number)
         viz = self._checkpoint_visualization_input
         if "input_images" not in viz:
             return
-        step_number = self.get_training_step_number()
         gt_imgs = viz["input_images"]
         latent, pred_rotation = self.encode_images(gt_imgs)
         imgs_pred_rot = self.generate_images(latent, pred_rotation)
@@ -511,8 +549,10 @@ class ConfigNet(ConfigNetFirstStage):
         latent, rotation = self.encode_images(imgs)
         return self.generate_images(latent, rotation)
 
-    def calculate_metrics(self, output_dir: str) -> None:
-        super().calculate_metrics(output_dir)
+    def calculate_metrics(self, output_dir: str, step_number: int = None) -> None:
+        if step_number is None:
+            step_number = self.get_training_step_number()
+        super().calculate_metrics(output_dir, step_number=step_number)
         input_images = (
             self._generator_input_for_metrics.get("input_images")
             if self._generator_input_for_metrics
@@ -538,9 +578,7 @@ class ConfigNet(ConfigNetFirstStage):
         perceptual = float(np.mean(losses))
         self.metrics.setdefault("perceptual_loss", []).append(perceptual)
         if self.log_writer is not None:
-            self.log_writer.scalar(
-                "metrics/perceptual_loss", perceptual, self.get_training_step_number()
-            )
+            self.log_writer.scalar("metrics/perceptual_loss", perceptual, step_number)
         np.savetxt(
             os.path.join(output_dir, "image_metrics.txt"), self.metrics["perceptual_loss"]
         )
@@ -560,7 +598,10 @@ class ConfigNet(ConfigNetFirstStage):
 
         if self._encode_fn is None:
             self._encode_fn = jax.jit(self._encoder_apply)
-        params = self.state.generator.params["real_encoder"]
+        if self._inference_params_override is not None:
+            params = self._inference_params_override["real_encoder"]
+        else:
+            params = self.state.generator.params["real_encoder"]
 
         n = input_images.shape[0]
         chunk = min(batch_chunk, max(n, 1))
@@ -579,6 +620,8 @@ class ConfigNet(ConfigNetFirstStage):
         return np.concatenate(lat_out), np.concatenate(rot_out)
 
     def _generator_params_for_inference(self):
+        if self._inference_params_override is not None:
+            return self._inference_params_override["generator_smoothed"]
         if self._fine_tuned_generator_params is not None:
             return self._fine_tuned_generator_params
         return self.state.generator_smoothed

@@ -87,3 +87,118 @@ def sample_batch_signatures(model_cls, config, dataset, n_batches, interleave):
             np.random.rand(97)
         sigs.append(batch_signature(model._sample_host_batch(dataset, dataset)))
     return sigs
+
+
+def write_reference_checkpoint(model, out_dir, name="model", shift=0.0):
+    """Serialize a ConfigNet(FirstStage) into the REFERENCE release format
+    (confignet_first_stage.py:131-138,173-206): an npz of Keras-style
+    object-array weight lists + config json + facemodel-distribution pck
+    whose classes claim the reference's module paths.  ``shift`` is added to
+    every weight so a test can prove assignment happened."""
+    import json
+    import os
+    import pickle
+    import sys
+    import types
+
+    from flax import traverse_util
+
+    from confignet_tpu.core.reference_import import (
+        discriminator_weight_paths,
+        generator_weight_paths,
+        latent_regressor_weight_paths,
+        mlp_weight_paths,
+        real_encoder_weight_paths,
+        synthetic_encoder_weight_paths,
+    )
+
+    def weight_list(params, paths):
+        flat = dict(traverse_util.flatten_dict(params))
+        out = []
+        for path in paths:
+            if path == ("__drop_zero_kernel__",):
+                bias_len = np.asarray(flat[("learned_input",)]).shape[0]
+                out.append(np.zeros((1, bias_len), np.float32))
+            else:
+                out.append(np.asarray(flat[path], np.float32) + shift)
+        return out
+
+    def obj_array(lst):
+        arr = np.empty(len(lst), dtype=object)
+        arr[:] = lst
+        return arr
+
+    weights = model.get_weights()
+    size = model.config["output_shape"][0]
+    n_res = model.config["n_discr_layers"]
+    from_rgb = model.config["initial_from_rgb_layer_in_discr"]
+    disc_paths = discriminator_weight_paths(n_res, from_rgb, "grouped")
+    gen_paths = generator_weight_paths(size)
+
+    data = {
+        "generator_weights": obj_array(weight_list(weights["generator"], gen_paths)),
+        "generator_smoothed_weights": obj_array(
+            weight_list(weights["generator_smoothed"], gen_paths)),
+        "discriminator_weights": obj_array(
+            weight_list(weights["discriminator"], disc_paths)),
+        "synth_discriminator_weights": obj_array(
+            weight_list(weights["synth_discriminator"], disc_paths)),
+        "latent_regressor_weights": obj_array(weight_list(
+            weights["latent_regressor"],
+            latent_regressor_weight_paths(n_res, from_rgb))),
+        "latent_discriminator_weights": obj_array(weight_list(
+            weights["latent_discriminator"],
+            mlp_weight_paths(model.config["n_latent_discr_layers"]))),
+        "synthetic_encoder_weights": obj_array(weight_list(
+            weights["synthetic_encoder"],
+            synthetic_encoder_weight_paths(
+                model.facemodel_inputs_tuple,
+                model.config["num_synth_encoder_layers"]))),
+    }
+    if "real_encoder" in weights and weights["real_encoder"] is not None:
+        data["real_encoder_weights"] = obj_array(
+            weight_list(weights["real_encoder"], real_encoder_weight_paths()))
+
+    os.makedirs(out_dir, exist_ok=True)
+    np.savez(os.path.join(out_dir, name + ".npz"), **data)
+    with open(os.path.join(out_dir, name + ".json"), "w") as fp:
+        json.dump(model._json_safe_config(), fp, indent=4)
+    with open(os.path.join(out_dir, name + "_log.json"), "w") as fp:
+        json.dump({"g_losses": {"loss_sum": [1.0, 2.0]},
+                   "d_losses": {"loss_sum": [3.0]},
+                   "metrics": {}}, fp)
+
+    # Distribution pickle whose classes live at the REFERENCE module paths
+    # (what a real model.zip contains) — exercises the import unpickler.
+    # One correctly-shaped exemplar distribution per facemodel input, so
+    # downstream consumers (demo sampling) actually work after import.
+    ref_mod_name = "confignet.neural_renderer_dataset"
+    created = []
+    if "confignet" not in sys.modules:
+        sys.modules["confignet"] = types.ModuleType("confignet")
+        created.append("confignet")
+    if ref_mod_name not in sys.modules:
+        mod = types.ModuleType(ref_mod_name)
+
+        class ExemplarDistribution:
+            pass
+
+        ExemplarDistribution.__module__ = ref_mod_name
+        ExemplarDistribution.__qualname__ = "ExemplarDistribution"
+        mod.ExemplarDistribution = ExemplarDistribution
+        sys.modules[ref_mod_name] = mod
+        created.append(ref_mod_name)
+    try:
+        rng = np.random.default_rng(0)
+        distrs = {}
+        for pname, (input_dim, _latent_dim) in model.config["facemodel_inputs"].items():
+            d = sys.modules[ref_mod_name].ExemplarDistribution()
+            d.exemplars = rng.normal(size=(5, input_dim)).astype(np.float32)
+            d.n_exemplars = 5
+            distrs[pname] = d
+        with open(os.path.join(out_dir, name + "_facemodel_distr.pck"), "wb") as fp:
+            pickle.dump(distrs, fp)
+    finally:
+        for m in created:
+            del sys.modules[m]
+    return os.path.join(out_dir, name + ".json")

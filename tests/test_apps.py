@@ -241,3 +241,30 @@ def test_demo_cli_all_modes(dataset_paths, tmp_path):
         "--n_rows", "1", "--n_cols", "2",
         "--landmark_backend", "fake",
     ])
+
+
+def test_demo_cli_with_reference_format_checkpoint(tmp_path):
+    """Drop-in replacement check: the demo CLI runs unmodified against a
+    checkpoint in the official release format (Keras weight-list npz +
+    json + reference-module distr pck), matching
+    /root/reference/evaluation/confignet_demo.py:18-26 semantics."""
+    from confignet_tpu.apps import confignet_demo
+    from confignet_tpu.core.model_io import load_confignet
+    from helpers import write_reference_checkpoint
+
+    model_path = getattr(test_train_confignet_cli, "model_path", None)
+    gan_path = getattr(test_latent_gan_cli, "model_path", None)
+    if model_path is None or gan_path is None:
+        pytest.skip("upstream CLI tests did not run")
+
+    model = load_confignet(model_path)
+    ref_dir = os.path.join(str(tmp_path), "reference_release")
+    ref_json = write_reference_checkpoint(model, ref_dir)
+
+    confignet_demo.run([
+        "--test_mode",
+        "--confignet_model_path", ref_json,
+        "--latent_gan_model_path", gan_path,
+        "--resolution", "128",
+        "--n_rows", "1", "--n_cols", "2",
+    ])

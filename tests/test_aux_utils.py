@@ -66,3 +66,25 @@ def test_remote_logging_offline_fallbacks():
     fake = FakeRun()
     log_losses(fake, ["g", "d"], [1.0, 2.0], prefix="train_")
     assert fake.logged == {"train_g": 1.0, "train_d": 2.0}
+
+
+def test_checkpoint_worker_orders_and_propagates_errors():
+    import pytest
+
+    from confignet_tpu.core.async_checkpoint import CheckpointWorker
+
+    w = CheckpointWorker()
+    out = []
+    for i in range(5):
+        w.submit(lambda i=i: out.append(i))
+    w.drain()
+    assert out == [0, 1, 2, 3, 4]
+
+    w.submit(lambda: 1 / 0)
+    with pytest.raises(RuntimeError):
+        w.drain()
+    # the worker survives a failed job
+    w.submit(lambda: out.append(9))
+    w.drain()
+    assert out[-1] == 9
+    w.close()

@@ -177,3 +177,73 @@ def test_batch_sequence_reproducible_across_main_thread_draws(dataset):
     noisy = sample_batch_signatures(
         ConfigNetFirstStage, TINY_FIRST_STAGE_CONFIG, dataset, 3, interleave=True)
     assert clean == noisy
+
+
+def _adam_count(player):
+    import optax
+
+    for leaf in player.opt_state:
+        if hasattr(leaf, "count"):
+            return int(jax.device_get(leaf.count))
+    raise AssertionError("no count leaf in opt_state")
+
+
+def test_multi_update_batch_layout(dataset):
+    cfg = dict(TINY_FIRST_STAGE_CONFIG,
+               n_discriminator_updates=3, n_generator_updates=2)
+    model = ConfigNetFirstStage(cfg)
+    batch = model._sample_host_batch(dataset, dataset)
+    # Stacked layout: D-player fields carry n_d fresh sub-batches,
+    # G fields n_g (reference resamples per sub-step,
+    # confignet_first_stage.py:604-612).
+    assert batch["d_real_imgs"].shape[:2] == (3, cfg["batch_size"])
+    assert batch["latent_d_facemodel"][0].shape[0] == 3
+    assert batch["g_gt_imgs"].shape[:2] == (2, cfg["batch_size"] // 2)
+    # The sub-batches are actually fresh draws, not copies.
+    assert not np.array_equal(batch["d_real_imgs"][0], batch["d_real_imgs"][1])
+
+
+@pytest.mark.slow
+def test_n_player_updates_honored(dataset, tmp_path):
+    """A config with 2 discriminator updates measurably takes 2 D optimizer
+    steps (and 2 G steps) per fused train step — Adam's count is the proof."""
+    cfg = dict(TINY_FIRST_STAGE_CONFIG,
+               n_discriminator_updates=2, n_generator_updates=2)
+    model = ConfigNetFirstStage(cfg)
+    model.setup_training(str(tmp_path), dataset, n_samples_for_metrics=2)
+    step_fn = model._build_train_step()
+    vgg = model.perceptual_loss.variables["params"]
+    batch = model._sample_host_batch(dataset, dataset)
+    model.state, losses = step_fn(model.state, model.keychain.next(), batch, vgg)
+    for name in ("discriminator", "synth_discriminator", "latent_discriminator"):
+        assert _adam_count(getattr(model.state, name)) == 2, name
+    assert _adam_count(model.state.generator) == 2
+    losses = jax.device_get(losses)
+    for group in ("g", "d", "synth_d", "latent_d"):
+        assert np.isfinite(losses[group]["loss_sum"]), group
+
+
+@pytest.mark.slow
+def test_async_checkpointing_train_loop(dataset, tmp_path):
+    """train() with async_checkpointing (the default) writes the same
+    artifacts as the inline path — checkpoints, image panels, metric
+    history — with the work running on the background worker against
+    donation-safe snapshots."""
+    cfg = dict(TINY_FIRST_STAGE_CONFIG,
+               image_checkpoint_period=2, metrics_checkpoint_period=2,
+               loss_print_period=1)
+    model = ConfigNetFirstStage(cfg)
+    model.train(dataset, dataset, str(tmp_path), str(tmp_path / "logs"),
+                n_steps=3, n_samples_for_metrics=2)
+
+    ckpt_dir = os.path.join(str(tmp_path), "checkpoints")
+    saved = sorted(f for f in os.listdir(ckpt_dir)
+                   if f.endswith(".json") and not f.endswith("_log.json"))
+    assert saved, "no checkpoint written by the async worker"
+    assert os.path.exists(os.path.join(str(tmp_path), "output_imgs"))
+    assert len(model.metrics.get("training_step_number", [])) >= 1
+
+    from confignet_tpu.core.model_io import load_confignet
+
+    loaded = load_confignet(os.path.join(ckpt_dir, saved[-1]))
+    assert loaded.MODEL_TYPE == "ConfigNetFirstStage"

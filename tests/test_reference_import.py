@@ -221,3 +221,74 @@ def test_h5_loader_rejects_mixed_layer_naming(tmp_path):
 
     with pytest.raises(ValueError, match="mixes counter-style"):
         load_keras_h5_ordered({}, str(h5_path), ["a/kernel"], [])
+
+
+def test_load_confignet_sniffs_reference_format(tiny_model, tmp_path):
+    """The 'drop-in replacement' gap: a reference-release checkpoint
+    (model.zip layout — Keras weight-list npz + json + distr pck) must load
+    through the SAME entry points as our own format
+    (/root/reference/evaluation/confignet_demo.py:18-26 +
+    confignet_utils.py:14-21 semantics)."""
+    from helpers import write_reference_checkpoint
+    from confignet_tpu.core.model_io import load_confignet
+    from flax import traverse_util
+
+    json_path = write_reference_checkpoint(tiny_model, str(tmp_path), shift=1.0)
+    loaded = load_confignet(json_path)
+    assert loaded.MODEL_TYPE == tiny_model.MODEL_TYPE
+
+    # weights went through the Keras-order importer (shift proves assignment)
+    orig = traverse_util.flatten_dict(tiny_model.get_weights()["generator"])
+    new = traverse_util.flatten_dict(loaded.get_weights()["generator"])
+    for path in orig:
+        np.testing.assert_allclose(
+            np.asarray(new[path]), np.asarray(orig[path]) + 1.0, atol=0)
+
+    # the reference-module distribution pickle was remapped to our classes
+    from confignet_tpu.data.distributions import ExemplarDistribution
+
+    distr = loaded.facemodel_param_distributions["head_hair_color"]
+    assert isinstance(distr, ExemplarDistribution)
+    values, _ = distr.sample(3)
+    assert values.shape == (3, tiny_model.config["facemodel_inputs"]["head_hair_color"][0])
+
+    # the training log came along (step counter resumes from it)
+    assert loaded.get_training_step_number() == 1
+
+
+def test_latent_gan_load_sniffs_reference_format(tmp_path):
+    """LatentGAN.load and load_confignet route reference-format npz files
+    (latent_gan.py:48-81 layout) through the importer automatically."""
+    import json
+
+    from confignet_tpu.core.model_io import load_confignet
+    from confignet_tpu.training.latent_gan import LatentGAN
+    from flax import traverse_util
+
+    gan = LatentGAN({"latent_dim": 6, "num_mlp_layers": 2, "batch_size": 4})
+    weights = gan.get_weights()
+    paths = mlp_weight_paths(gan.config["num_mlp_layers"])
+
+    def as_keras_list(params, shift):
+        flat = dict(traverse_util.flatten_dict(params))
+        lst = [np.asarray(flat[p], np.float32) + shift for p in paths]
+        arr = np.empty(len(lst), dtype=object)
+        arr[:] = lst
+        return arr
+
+    np.savez(
+        tmp_path / "model.npz",
+        generator_weights=as_keras_list(weights["generator"], 1.0),
+        smoothed_generator_weights=as_keras_list(weights["generator_smoothed"], 2.0),
+        discriminator_weights=as_keras_list(weights["discriminator"], 3.0),
+    )
+    with open(tmp_path / "model.json", "w") as fp:
+        json.dump(gan.config, fp)
+
+    for loader in (LatentGAN.load, load_confignet):
+        loaded = loader(str(tmp_path / "model.json"))
+        got = traverse_util.flatten_dict(loaded.get_weights()["generator_smoothed"])
+        want = traverse_util.flatten_dict(weights["generator_smoothed"])
+        for p in want:
+            np.testing.assert_allclose(
+                np.asarray(got[p]), np.asarray(want[p]) + 2.0, atol=0)

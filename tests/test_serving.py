@@ -147,3 +147,27 @@ def test_render_with_attribute_value_not_baked(server):
     out_one = srv.render_with_attribute(
         imgs, "blendshape_values", np.full((1, n_blend), 3.0, np.float32))
     assert not np.array_equal(out_zero, out_one)
+
+
+def test_refresh_serves_new_weights(server):
+    """Snapshot semantics: a server built before fine-tuning keeps serving
+    the construction-time weights; refresh() re-snapshots and serves the
+    fine-tuned generator."""
+    srv, model = server
+    latents = np.zeros((1, model.config["latent_dim"]), np.float32)
+    rotations = np.zeros((1, 3), np.float32)
+    before = srv.generate(latents, rotations)
+
+    img = np.random.default_rng(7).integers(0, 256, (128, 128, 3), dtype=np.uint8)
+    model.fine_tune_on_img(img, n_iters=2)
+
+    stale = srv.generate(latents, rotations)
+    np.testing.assert_array_equal(before, stale)  # documented: snapshot is fixed
+
+    srv.refresh()
+    fresh = srv.generate(latents, rotations)
+    assert not np.array_equal(before, fresh)
+
+    # restore the module-scoped fixture's state for other tests
+    model._fine_tuned_generator_params = None
+    srv.refresh()
