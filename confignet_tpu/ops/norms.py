@@ -70,13 +70,23 @@ def layer_style(x: jax.Array, eps: float = 1e-6) -> jax.Array:
     return jnp.concatenate([mean, std], axis=-1)
 
 
-def adain_modulate(x: jax.Array, scale: jax.Array, bias: jax.Array, spatial_axes: Sequence[int], eps: float = 1e-3) -> jax.Array:
+def adain_modulate(x: jax.Array, scale: jax.Array, bias: jax.Array, spatial_axes: Sequence[int], eps: float = 1e-3, impl: str = "auto") -> jax.Array:
     """AdaIN: instance-normalize then modulate with per-(batch, channel)
     scale/bias predicted from the latent: ``norm(x) * (scale + 1) + bias``
     (reference: confignet/dnn_models/building_blocks.py:135-149).
 
-    ``scale``/``bias`` have shape (B, C).
+    ``scale``/``bias`` have shape (B, C).  On TPU (``impl="auto"``) the
+    full-spatial case lowers to the fused one-pass VMEM kernel
+    (ops/adain_pallas.py) with an XLA backward; any other axis selection
+    (or backend) uses the plain XLA form.
     """
+    full_spatial = tuple(spatial_axes) == tuple(range(1, x.ndim - 1))
+    if full_spatial:
+        from confignet_tpu.ops.adain_pallas import (
+            fused_adain, fused_adain_fits_vmem, resolve_adain_impl)
+
+        if resolve_adain_impl(impl) == "pallas" and fused_adain_fits_vmem(x.shape, x.dtype):
+            return fused_adain(x, scale, bias, eps)
     normed = spatial_instance_norm(x, spatial_axes, eps)
     shape = [x.shape[0]] + [1] * (x.ndim - 2) + [x.shape[-1]]
     scale = jnp.reshape(scale, shape)

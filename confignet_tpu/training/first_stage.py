@@ -739,6 +739,7 @@ class ConfigNetFirstStage:
             from confignet_tpu.core.async_checkpoint import CheckpointWorker
 
             self._checkpoint_worker = CheckpointWorker()
+        loop_start = time.perf_counter()
         try:
             self._train_loop(prefetcher, flusher, start_step, n_steps, vgg_params,
                              image_p, metrics_p, window_start, window_len,
@@ -748,6 +749,10 @@ class ConfigNetFirstStage:
             if self._checkpoint_worker is not None:
                 worker, self._checkpoint_worker = self._checkpoint_worker, None
                 worker.close()  # runs pending jobs, re-raises failures
+        # Loop-only wall time (incl. the final checkpoint drain), for
+        # benchmarking the step path without setup/compile.
+        return {"loop_seconds": time.perf_counter() - loop_start,
+                "steps_run": n_steps - start_step}
 
     def _train_loop(self, prefetcher, flusher, start_step, n_steps, vgg_params,
                     image_p, metrics_p, window_start, window_len,

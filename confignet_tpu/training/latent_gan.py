@@ -67,6 +67,7 @@ class LatentGAN:
         self.log_writer: Optional[TensorBoardWriter] = None
         self.inputs_for_logs = None
         self.inputs_for_metrics = None
+        self.metrics: Dict[str, list] = {}
         self._inception_metric_object = None
         self._train_step_fn = None
         self._sample_fn = None
@@ -275,6 +276,9 @@ class LatentGAN:
                 predicted, self.inputs_for_metrics["rotations"]
             )
             kid, fid = self._inception_metric_object.get_metrics(generated_images)
+            self.metrics.setdefault("training_step_number", []).append(step_number)
+            self.metrics.setdefault("kid", []).append(float(kid))
+            self.metrics.setdefault("fid", []).append(float(fid))
             if self.log_writer is not None:
                 self.log_writer.scalar("metrics/kid", kid, step_number)
                 self.log_writer.scalar("metrics/fid", fid, step_number)

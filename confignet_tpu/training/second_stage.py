@@ -463,6 +463,7 @@ class ConfigNet(ConfigNetFirstStage):
             from confignet_tpu.core.async_checkpoint import CheckpointWorker
 
             self._checkpoint_worker = CheckpointWorker()
+        loop_start = time.perf_counter()
         try:
             self._stage2_train_loop(
                 prefetcher, flusher, start_step, n_steps, vgg_params,
@@ -473,6 +474,8 @@ class ConfigNet(ConfigNetFirstStage):
             if self._checkpoint_worker is not None:
                 worker, self._checkpoint_worker = self._checkpoint_worker, None
                 worker.close()  # runs pending jobs, re-raises failures
+        return {"loop_seconds": time.perf_counter() - loop_start,
+                "steps_run": n_steps - start_step}
 
     def _stage2_train_loop(self, prefetcher, flusher, start_step, n_steps,
                            vgg_params, vggface_params, image_p, metrics_p,

@@ -42,7 +42,37 @@ def parse_args(argv=None):
                    help="after stage 1, transfer weights into the stage-2 "
                         "trainer (encoder joins the G player) and train this "
                         "many steps with the same FID/KID cadence")
+    p.add_argument("--latent_gan_steps", type=int, default=0,
+                   help="after stage 2, train a LatentGAN on the encoder's "
+                        "latents (the reference's third training phase)")
+    p.add_argument("--controllability_samples", type=int, default=0,
+                   help="run the Table-2 controllability protocol on this "
+                        "many held-out procedural faces, judged by an "
+                        "attribute classifier trained on the procedural "
+                        "labels (requires --stage2_steps)")
+    p.add_argument("--classifier_epochs", type=int, default=6)
     return p.parse_args(argv)
+
+
+def _train_procedural_judge(ds, out_dir, epochs, img_size):
+    """Attribute classifier on the procedural faces + derived labels — the
+    judge for the controllability protocol (reference counterpart:
+    evaluation/train_attribute_classifier.py on CelebA)."""
+    from confignet_tpu.data.procedural import ATTRIBUTE_NAMES
+    from confignet_tpu.metrics.celeba_attribute_prediction import (
+        CelebaAttributeClassifier,
+    )
+
+    clf = CelebaAttributeClassifier({
+        "input_shape": (img_size, img_size, 3),
+        "predicted_attributes": list(ATTRIBUTE_NAMES),
+        "batch_size": 32,
+    })
+    clf_dir = os.path.join(out_dir, "attribute_classifier")
+    clf.train(ds, ds, clf_dir, n_epochs=epochs, steps_per_epoch=32)
+    acc = float(clf.logs["val_binary_accuracy"][-1])
+    print(f"procedural judge val accuracy: {acc:.3f}")
+    return clf, acc
 
 
 def main(argv=None) -> None:
@@ -129,6 +159,55 @@ def main(argv=None) -> None:
                 "d_loss_sum": float(model2.d_losses["loss_sum"][-1]),
             },
         }
+
+        if args.latent_gan_steps:
+            # Third training phase: LatentGAN over the encoder's latent
+            # space (reference: train_latent_gan.py -> latent_gan.py:83-150).
+            from confignet_tpu.training.latent_gan import LatentGAN
+
+            gan = LatentGAN({
+                "latent_dim": model2.config["latent_dim"],
+                "batch_size": 32,
+                "n_samples_for_metrics": min(args.n_samples_for_metrics, 256),
+            })
+            gan_dir = os.path.join(out_dir, "latent_gan")
+            t0 = time.time()
+            gan.train(ds, model2, gan_dir, os.path.join(gan_dir, "logs"),
+                      n_iters=args.latent_gan_steps)
+            trend["latent_gan"] = {
+                "steps": args.latent_gan_steps,
+                "wall_seconds": round(time.time() - t0, 1),
+                "fid": [round(float(v), 4) for v in gan.metrics.get("fid", [])],
+                "kid": [round(float(v), 6) for v in gan.metrics.get("kid", [])],
+            }
+            gan.save(os.path.join(gan_dir, "checkpoints"), "final")
+
+        if args.controllability_samples:
+            # Table-2 controllability protocol on held-out procedural faces,
+            # judged by a classifier trained on the procedural labels
+            # (reference: evaluation/evaluate_confignet_controllability.py).
+            from confignet_tpu.metrics.controllability import ControllabilityMetrics
+
+            clf, judge_acc = _train_procedural_judge(
+                ds, out_dir, args.classifier_epochs, args.img_size)
+            held_out = ProceduralFaceDataset(
+                n_images=args.controllability_samples,
+                img_size=args.img_size, seed=args.seed + 1)
+            contr_dir = os.path.join(out_dir, "controllability")
+            metrics_obj = ControllabilityMetrics(model2, clf)
+            history = {"training_step_number": [args.stage2_steps]}
+            t0 = time.time()
+            metrics_obj.update_and_log_metrics(held_out.imgs, history, contr_dir)
+            trend["controllability"] = {
+                "judge_val_accuracy": round(judge_acc, 4),
+                "n_samples": args.controllability_samples,
+                "wall_seconds": round(time.time() - t0, 1),
+                "controllability": float(history["controllability"][-1]),
+                "contr_attribute_means": [
+                    round(float(v), 4)
+                    for v in history["contr_attribute_means"][-1]
+                ],
+            }
 
     with open(os.path.join(out_dir, "quality_trend.json"), "w") as fp:
         json.dump(trend, fp, indent=2)

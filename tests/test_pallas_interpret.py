@@ -60,3 +60,78 @@ def test_grad_kernel_matches_gather_autodiff():
                             point_block=256, interpret=True)
     got = got.reshape(grid.shape)
     np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# Fused AdaIN kernel (ops/adain_pallas.py)
+# ---------------------------------------------------------------------------
+
+def _adain_oracle(x, scale, bias, eps=1e-3):
+    from confignet_tpu.ops.norms import spatial_instance_norm
+
+    spatial_axes = tuple(range(1, x.ndim - 1))
+    normed = spatial_instance_norm(x, spatial_axes, eps)
+    shape = [x.shape[0]] + [1] * (x.ndim - 2) + [x.shape[-1]]
+    return normed * (jnp.reshape(scale, shape) + 1.0) + jnp.reshape(bias, shape)
+
+
+@pytest.mark.parametrize("shape", [(3, 16, 16, 32), (2, 8, 8, 8, 16)])
+def test_fused_adain_matches_xla(shape):
+    from confignet_tpu.ops.adain_pallas import fused_adain
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=shape), jnp.float32)
+    scale = jnp.asarray(rng.normal(size=(shape[0], shape[-1])), jnp.float32)
+    bias = jnp.asarray(rng.normal(size=(shape[0], shape[-1])), jnp.float32)
+    got = fused_adain(x, scale, bias, 1e-3, True)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(_adain_oracle(x, scale, bias)), atol=2e-5)
+
+
+def test_fused_adain_bf16_dtype_and_tolerance():
+    from confignet_tpu.ops.adain_pallas import fused_adain
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(2, 16, 16, 32)), jnp.bfloat16)
+    scale = jnp.asarray(rng.normal(size=(2, 32)), jnp.float32)
+    bias = jnp.asarray(rng.normal(size=(2, 32)), jnp.float32)
+    got = fused_adain(x, scale, bias, 1e-3, True)
+    assert got.dtype == jnp.bfloat16
+    oracle = _adain_oracle(x.astype(jnp.float32), scale, bias)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(oracle), atol=3e-2)
+
+
+def test_fused_adain_gradients_match_autodiff():
+    from confignet_tpu.ops.adain_pallas import fused_adain
+
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(2, 8, 8, 16)), jnp.float32)
+    scale = jnp.asarray(rng.normal(size=(2, 16)), jnp.float32)
+    bias = jnp.asarray(rng.normal(size=(2, 16)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(2, 8, 8, 16)), jnp.float32)
+
+    def loss_fused(x, s, b):
+        return jnp.sum(fused_adain(x, s, b, 1e-3, True) * w)
+
+    def loss_oracle(x, s, b):
+        return jnp.sum(_adain_oracle(x, s, b) * w)
+
+    g_fused = jax.grad(loss_fused, argnums=(0, 1, 2))(x, scale, bias)
+    g_oracle = jax.grad(loss_oracle, argnums=(0, 1, 2))(x, scale, bias)
+    for a, b_ in zip(g_fused, g_oracle):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-4, rtol=1e-4)
+
+
+def test_adain_modulate_partial_axes_stays_xla():
+    """Non-full spatial axis selections must bypass the fused kernel."""
+    from confignet_tpu.ops.norms import adain_modulate, spatial_instance_norm
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(2, 4, 4, 8)), jnp.float32)
+    scale = jnp.asarray(rng.normal(size=(2, 8)), jnp.float32)
+    bias = jnp.asarray(rng.normal(size=(2, 8)), jnp.float32)
+    out = adain_modulate(x, scale, bias, spatial_axes=(1,), impl="pallas")
+    normed = spatial_instance_norm(x, (1,), 1e-3)
+    want = normed * (scale[:, None, None, :] + 1.0) + bias[:, None, None, :]
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want), atol=1e-6)

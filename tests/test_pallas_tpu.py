@@ -45,3 +45,20 @@ def test_pallas_fused_zero_rotation_grad(rng):
     )
     g_t = jax.jit(jax.grad(lambda m: jnp.sum(rotate_3d_grid_fused(grid, m)), argnums=0))(mats)
     np.testing.assert_array_equal(np.asarray(g_t), 0.0)
+
+
+def test_fused_adain_on_chip_matches_xla(rng):
+    from confignet_tpu.ops.adain_pallas import fused_adain
+    from confignet_tpu.ops.norms import spatial_instance_norm
+
+    for shape in ((4, 32, 32, 32), (2, 16, 16, 16, 128)):
+        x = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+        scale = jnp.asarray(rng.normal(size=(shape[0], shape[-1])).astype(np.float32))
+        bias = jnp.asarray(rng.normal(size=(shape[0], shape[-1])).astype(np.float32))
+        got = np.asarray(fused_adain(x, scale, bias))
+        axes = tuple(range(1, x.ndim - 1))
+        normed = spatial_instance_norm(x, axes, 1e-3)
+        bshape = [shape[0]] + [1] * (x.ndim - 2) + [shape[-1]]
+        want = np.asarray(normed * (jnp.reshape(scale, bshape) + 1.0)
+                          + jnp.reshape(bias, bshape))
+        assert np.abs(got - want).max() < 1e-4, shape

@@ -24,28 +24,64 @@ def test_dataset_duck_type():
     assert set(cfg) == set(FACEMODEL_DIMS)
 
 
+def _named_blendshapes(**values):
+    from confignet_tpu.metrics.blendshape_names import blendshape_names
+
+    bs = np.zeros(len(blendshape_names), np.float32)
+    for name, v in values.items():
+        bs[blendshape_names.index(name)] = v
+    return bs
+
+
 def test_parameters_move_pixels():
     """The controllable parameters must actually change the render — a GAN
-    can only learn (and FID can only detect) variation that exists."""
+    can only learn (and FID can only detect) variation that exists.  The
+    blendshape dims are addressed by the REFERENCE names so the Table-2
+    controllability protocol drives real pixels on this family."""
     base = {
-        "blendshape_values": np.zeros(8, np.float32),
+        "blendshape_values": _named_blendshapes(),
         "head_hair_color": np.array([0.1, 0.2, 0.3], np.float32),
         "eye_color": np.array([0.5, 0.5, 0.5], np.float32),
+        "beard_style_embedding": np.full(9, -1.0, np.float32),
         "geometry_identity_params": np.zeros(4, np.float32),
     }
     img0, mask0 = _render_face(128, 0.0, 0.0, base, canvas_seed=1)
 
-    jaw = dict(base, blendshape_values=np.array([1, 0, 0, 0, 0, 0, 0, 0], np.float32))
+    jaw = dict(base, blendshape_values=_named_blendshapes(jaw_opening=1.0))
     img_jaw, _ = _render_face(128, 0.0, 0.0, jaw, canvas_seed=1)
-    assert (img0 != img_jaw).any(), "jaw_open must open the mouth"
+    assert (img0 != img_jaw).any(), "jaw_opening must open the mouth"
+
+    blink = dict(base, blendshape_values=_named_blendshapes(
+        EyeBLinkLeft=0.9, EyeBLinkRight=0.9))
+    img_blink, _ = _render_face(128, 0.0, 0.0, blink, canvas_seed=1)
+    assert (img0 != img_blink).any(), "blink must narrow the eyes"
 
     hair = dict(base, head_hair_color=np.array([0.9, 0.1, 0.9], np.float32))
     img_hair, _ = _render_face(128, 0.0, 0.0, hair, canvas_seed=1)
     assert (img0 != img_hair).any(), "hair color must recolor the cap"
 
+    tache = dict(base, beard_style_embedding=np.full(9, 1.5, np.float32))
+    img_tache, _ = _render_face(128, 0.0, 0.0, tache, canvas_seed=1)
+    assert (img0 != img_tache).any(), "the beard axis must draw a mustache"
+
     img_yaw, mask_yaw = _render_face(128, 0.5, 0.0, base, canvas_seed=1)
     assert (img0 != img_yaw).any(), "yaw must move the face"
     assert (mask0 != mask_yaw).any(), "yaw must move the eye mask"
+
+
+def test_derived_attributes_cover_both_classes():
+    """The procedural judge needs positives AND negatives for every driven
+    attribute of the controllability protocol."""
+    from confignet_tpu.data.procedural import ATTRIBUTE_NAMES
+
+    ds = ProceduralFaceDataset(n_images=64, img_size=32, seed=11)
+    labels = ds.get_attribute_values(range(64), ATTRIBUTE_NAMES)
+    assert labels.shape == (64, 8)
+    frac = labels.mean(axis=0)
+    for name, f in zip(ATTRIBUTE_NAMES, frac):
+        assert 0.02 < f < 0.98, f"{name} has a degenerate class balance ({f})"
+    # hair labels are one-hot among the four colors
+    assert np.all(labels[:, :4].sum(axis=1) == 1)
 
 
 def test_deterministic_given_seed():
