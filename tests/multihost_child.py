@@ -60,8 +60,64 @@ def main() -> int:
     )(b2["x"])
     np.testing.assert_allclose(np.asarray(out2), 84.0 + 100.0 * global_batch * 3)
 
+    if "--trainer-step" in sys.argv:
+        _trainer_step(mesh, nproc)
+
     print(f"MULTIHOST_OK {proc_id}", flush=True)
     return 0
+
+
+def _trainer_step(mesh, nproc: int) -> None:
+    """One REAL stage-1 fused step across the processes: the trainer's own
+    per-host sampler (lockstep global draws -> process_slice gathers ->
+    make_array_from_process_local_data) feeds the sharded jitted step."""
+    import os
+    import sys as _sys
+
+    _sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import jax
+    import numpy as np
+
+    from helpers import FakeDataset
+    from confignet_tpu.parallel import replicate
+    from confignet_tpu.training.first_stage import ConfigNetFirstStage
+
+    config = {
+        "output_shape": (128, 128, 3),
+        "const_input_shape": (4, 4, 4, 8),
+        "n_generator_features": 8,
+        "n_adain_mlp_units": 8,
+        "n_adain_mlp_layers": 2,
+        "n_discr_features_at_layer_0": 4,
+        "max_discr_filters": 8,
+        "n_discr_layers": 2,
+        "batch_size": 2 * len(mesh.devices.flat),
+        "n_latent_discr_layers": 2,
+        "perceptual_taps": [1],
+        "facemodel_inputs": {"blendshape_values": (8, 6),
+                             "head_hair_color": (3, 4)},
+        "seed": 0,
+    }
+    np.random.seed(0)  # lockstep batch RNG across processes
+    model = ConfigNetFirstStage(config)
+    model.mesh = mesh
+    model.state = replicate(mesh, model.state)
+    vgg = replicate(mesh, model.perceptual_loss.variables["params"])
+    ds = FakeDataset(n_images=8, img_size=128)
+
+    batch = model._sample_host_batch(ds, ds)  # per-host rows only
+    local_rows = config["batch_size"] // nproc
+    # the host staged only its shard of the global batch
+    assert batch["d_real_imgs"].shape[0] == config["batch_size"]
+    addressable = sum(
+        s.data.shape[0] for s in batch["d_real_imgs"].addressable_shards)
+    assert addressable == local_rows, (addressable, local_rows)
+
+    step = model._build_train_step()
+    _, losses = step(model.state, model.keychain.next(), batch, vgg)
+    loss = float(jax.device_get(losses["g"]["loss_sum"]))
+    assert np.isfinite(loss), loss
+    print(f"TRAINER_STEP_OK {jax.process_index()} {loss:.4f}", flush=True)
 
 
 if __name__ == "__main__":
