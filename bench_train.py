@@ -298,12 +298,22 @@ def bench_checkpointing(results, window=40, period=10):
             model.config["metrics_checkpoint_period"] = p
             model.config["async_checkpointing"] = async_flag
             end = next_start + window
+            events_before = model.checkpoint_events_run
             stats = model.train(ds, ds, tmp, logs, n_steps=end,
                                 n_samples_for_metrics=64)
             next_start = end
             rates[label] = stats["steps_run"] / stats["loop_seconds"]
-            events[label] = sum(
-                1 for s in range(end - stats["steps_run"], end) if s % p == 0)
+            # Count checkpoints that actually DISPATCHED (the r4 resume
+            # off-by-one silently disabled them all while an analytic count
+            # here reported 4 — never trust the schedule, trust the model).
+            events[label] = model.checkpoint_events_run - events_before
+            expected = sum(1 for s in range(end - stats["steps_run"], end)
+                           if s % p == 0)
+            if events[label] != expected:
+                raise RuntimeError(
+                    f"checkpoint window '{label}' dispatched {events[label]} "
+                    f"checkpoint(s), schedule says {expected} — the bench "
+                    "would be measuring nothing; refusing to emit rows")
             _emit(results, f"train_loop_ckpt_{label}", rates[label], "steps/s",
                   batch=cfg["batch_size"], n_steps=stats["steps_run"],
                   checkpoint_events=events[label])

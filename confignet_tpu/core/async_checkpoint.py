@@ -26,10 +26,17 @@ from typing import Callable, Optional
 
 
 class CheckpointWorker:
-    """Single background thread executing checkpoint jobs in order."""
+    """Single background thread executing checkpoint jobs in order.
 
-    def __init__(self, name: str = "checkpoint-worker"):
-        self._queue: "queue.Queue[Optional[Callable[[], None]]]" = queue.Queue()
+    The queue is BOUNDED (default 2 pending jobs): every queued job pins a
+    full HBM snapshot of the parameter trees, so if checkpoint wall time
+    ever exceeds the checkpoint period, ``submit`` blocks the trainer until
+    a slot frees — throttling to checkpoint speed instead of growing an
+    unbounded chain of model copies until OOM."""
+
+    def __init__(self, name: str = "checkpoint-worker", max_pending: int = 2):
+        self._queue: "queue.Queue[Optional[Callable[[], None]]]" = queue.Queue(
+            maxsize=max_pending)
         self._error: Optional[BaseException] = None
         self._thread = threading.Thread(target=self._run, name=name, daemon=True)
         self._thread.start()

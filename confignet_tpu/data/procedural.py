@@ -83,8 +83,19 @@ def _expression_scalars(blendshapes: np.ndarray) -> Dict[str, float]:
         0.5 * (pick("EyeBLinkLeft") + pick("EyeBLinkRight")), 0.0, 1.0))
     wide = float(np.clip(
         0.5 * (pick("EyeWideLeft") + pick("EyeWideRight")), 0.0, 1.0))
+    # The SAME eye-opening scalar drives the renderer's lids and the
+    # Narrow_Eyes label — labels must describe rendered pixels, not raw
+    # blendshapes (a blink countered by EyeWide renders open eyes).
+    eye_open = float(np.clip(1.0 - 0.75 * blink + 0.5 * wide, 0.15, 1.5))
     return {"jaw_open": jaw_open, "smile": smile, "frown": frown,
-            "blink": blink, "wide": wide}
+            "blink": blink, "wide": wide, "eye_open": eye_open}
+
+
+def _mustache_opacity(params: Dict[str, np.ndarray]) -> float:
+    """Rendered mustache opacity from the first beard-PCA component.
+    Shared by the renderer and derive_attributes so the Mustache label can
+    never disagree with the drawn pixels."""
+    return 1.0 / (1.0 + np.exp(-2.0 * float(params["beard_style_embedding"][0])))
 
 
 def derive_attributes(params: Dict[str, np.ndarray]) -> Dict[str, int]:
@@ -98,8 +109,8 @@ def derive_attributes(params: Dict[str, np.ndarray]) -> Dict[str, int]:
     labels = {name: int(name == nearest) for name in HAIR_COLOR_ANCHORS}
     labels["Mouth_Slightly_Open"] = int(expr["jaw_open"] > 0.1)
     labels["Smiling"] = int(expr["smile"] > 0.5)
-    labels["Narrow_Eyes"] = int(expr["blink"] > 0.35)
-    labels["Mustache"] = int(float(params["beard_style_embedding"][0]) > 0.0)
+    labels["Narrow_Eyes"] = int(expr["eye_open"] < 0.74)
+    labels["Mustache"] = int(_mustache_opacity(params) > 0.5)
     return labels
 
 
@@ -111,7 +122,7 @@ def _render_face(size: int, yaw: float, pitch: float, params: Dict[str, np.ndarr
 
     expr = _expression_scalars(params["blendshape_values"])
     jaw_open, smile = expr["jaw_open"], expr["smile"]
-    mustache = 1.0 / (1.0 + np.exp(-2.0 * float(params["beard_style_embedding"][0])))
+    mustache = _mustache_opacity(params)
     hair = np.clip(params["head_hair_color"], 0, 1) * 255.0
     eye = np.clip(params["eye_color"], 0, 1) * 255.0
     geom = params["geometry_identity_params"]
@@ -151,7 +162,7 @@ def _render_face(size: int, yaw: float, pitch: float, params: Dict[str, np.ndarr
     eye_y = cy - 0.06 + feat_y
     eye_shift = 0.045 * np.sin(yaw)  # both eyes slide with yaw (parallax)
     # lids: blink narrows the eye opening, wide opens it further
-    eye_open = float(np.clip(1.0 - 0.75 * expr["blink"] + 0.5 * expr["wide"], 0.15, 1.5))
+    eye_open = expr["eye_open"]
     for side in (-1, 1):
         ex = cx + side * eye_dx + eye_shift
         E((ex, eye_y), (0.035, 0.022 * eye_open), (245, 245, 245))
@@ -164,8 +175,11 @@ def _render_face(size: int, yaw: float, pitch: float, params: Dict[str, np.ndarr
     E((cx + eye_shift, mouth_y), (mouth_w, mouth_h), (40, 40, 150))
 
     # mustache: dark band above the mouth, opacity driven by the first
-    # beard-PCA component (the axis separating the protocol's exemplars)
-    if mustache > 0.15:
+    # beard-PCA component (the axis separating the protocol's exemplars).
+    # Draw exactly when the Mustache label is positive (opacity > 0.5, so
+    # every drawn band is clearly visible) — threshold shared with
+    # derive_attributes via _mustache_opacity.
+    if mustache > 0.5:
         dark = np.array([30, 25, 20], np.float32)
         blended = skin * (1.0 - mustache) + dark * mustache
         E((cx + eye_shift, mouth_y - 0.055), (mouth_w * 1.2, 0.018), blended)

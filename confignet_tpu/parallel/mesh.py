@@ -58,20 +58,34 @@ def process_slice(global_rows: int) -> slice:
     return slice(idx * per, (idx + 1) * per)
 
 
-def shard_batch(mesh: Mesh, batch: Any, axis_name: str = DATA_AXIS, batch_axis: int = 0) -> Any:
+def shard_batch(mesh: Mesh, batch: Any, axis_name: str = DATA_AXIS, batch_axis: int = 0,
+                *, local_rows: bool = False) -> Any:
     """Device-put every array leaf with its batch axis split over the mesh.
 
-    Single-process: a plain sharded device_put.  Multi-process: each leaf is
-    this host's LOCAL row range (see :func:`process_slice`) and the global
-    array is assembled with ``jax.make_array_from_process_local_data`` — no
-    cross-host data movement, each host feeds only its own chips."""
+    Single-process: a plain sharded device_put (``local_rows`` is moot —
+    this host's rows ARE the global batch).  Multi-process, the caller must
+    say which layout it holds:
+
+    - ``local_rows=True``: each leaf is this host's LOCAL row range (see
+      :func:`process_slice`); the global array is assembled with
+      ``jax.make_array_from_process_local_data`` — no cross-host data
+      movement, each host feeds only its own chips (the trainer hot path).
+    - ``local_rows=False`` (default): each leaf is the full GLOBAL batch,
+      identical on every host (serving / encode paths); each host slices
+      its own :func:`process_slice` rows before assembly.  Passing a global
+      batch with ``local_rows=True`` would silently build an array of
+      ``rows * process_count`` global rows and break the compiled shapes.
+    """
     sharding = batch_sharding(mesh, axis_name, batch_axis)
     if jax.process_count() > 1:
-        return jax.tree_util.tree_map(
-            lambda x: jax.make_array_from_process_local_data(
-                sharding, np.ascontiguousarray(x)),
-            batch,
-        )
+        def put(x):
+            if not local_rows:
+                x = x[(slice(None),) * batch_axis
+                      + (process_slice(x.shape[batch_axis]),)]
+            return jax.make_array_from_process_local_data(
+                sharding, np.ascontiguousarray(x))
+
+        return jax.tree_util.tree_map(put, batch)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)
 
 

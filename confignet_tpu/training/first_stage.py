@@ -178,6 +178,10 @@ class ConfigNetFirstStage:
         self._checkpoint_worker = None
         self._inference_params_override = None
         self._snapshot_fn = None
+        # Count of checkpoint blocks actually dispatched (inline or async).
+        # bench_train.bench_checkpointing asserts on this so it can never
+        # again report stall numbers for checkpoints that never ran.
+        self.checkpoint_events_run = 0
         self.log_writer: Optional[TensorBoardWriter] = None
         self.aml_sink = None  # optional callable(name, value)
 
@@ -408,19 +412,7 @@ class ConfigNetFirstStage:
             losses["loss_sum"] = sum(losses.values())
             return losses["loss_sum"], losses
 
-        n_d_updates = int(cfg.get("n_discriminator_updates", 1))
-        n_g_updates = int(cfg.get("n_generator_updates", 1))
-        # With n_*_updates > 1 the host stacks a fresh batch per sub-update
-        # along a leading axis (reference semantics: each sub-step of
-        # confignet_first_stage.py:604-612 resamples its own batch); the
-        # sub-steps are statically unrolled here so XLA sees fixed shapes.
-        multi = n_d_updates > 1 or n_g_updates > 1
-
-        def sub_batch(batch, u, g_fields):
-            picked = {k: v for k, v in batch.items() if k.startswith("g_") == g_fields}
-            if not multi:
-                return picked
-            return jax.tree_util.tree_map(lambda x: x[u], picked)
+        n_d_updates, n_g_updates, multi, sub_batch = self._sub_update_plan()
 
         def train_step(state: FirstStageState, key, batch, vgg_params):
             d_keys = jax.random.split(jax.random.fold_in(key, 0), n_d_updates)
@@ -559,6 +551,27 @@ class ConfigNetFirstStage:
         return (int(self.config.get("n_discriminator_updates", 1)),
                 int(self.config.get("n_generator_updates", 1)))
 
+    def _sub_update_plan(self):
+        """``(n_d, n_g, multi, sub_batch)`` for a fused multi-sub-update
+        step, shared by the stage-1 and stage-2 builders.
+
+        With n_*_updates > 1 the host stacks a fresh batch per sub-update
+        along a leading axis (reference semantics: each sub-step of
+        confignet_first_stage.py:604-612 / confignet_second_stage.py:280-287
+        resamples its own batch); sub-steps are statically unrolled so XLA
+        sees fixed shapes.  ``sub_batch(batch, u, g_fields)`` picks one
+        player's field group for sub-update ``u``."""
+        n_d, n_g = self._n_player_updates()
+        multi = n_d > 1 or n_g > 1
+
+        def sub_batch(batch, u, g_fields):
+            picked = {k: v for k, v in batch.items() if k.startswith("g_") == g_fields}
+            if not multi:
+                return picked
+            return jax.tree_util.tree_map(lambda x: x[u], picked)
+
+        return n_d, n_g, multi, sub_batch
+
     def _sample_host_batch(self, real_training_set, synth_training_set) -> Dict[str, Any]:
         """Assemble the (possibly multi-sub-update) host batch and shard it.
 
@@ -572,9 +585,14 @@ class ConfigNetFirstStage:
             batch = self._sample_host_batch_single(real_training_set, synth_training_set)
             batch_axis = 0
         else:
+            # Each surplus draw gathers ONLY the field group its player
+            # uses — with n_d != n_g the extra draws skip the other
+            # player's expensive image gathers entirely.
             draws = [
-                self._sample_host_batch_single(real_training_set, synth_training_set)
-                for _ in range(max(n_d, n_g))
+                self._sample_host_batch_single(
+                    real_training_set, synth_training_set,
+                    d_fields=u < n_d, g_fields=u < n_g)
+                for u in range(max(n_d, n_g))
             ]
             batch = {
                 k: jax.tree_util.tree_map(
@@ -587,10 +605,13 @@ class ConfigNetFirstStage:
         if self.mesh is not None:
             from confignet_tpu.parallel import shard_batch
 
-            batch = shard_batch(self.mesh, batch, batch_axis=batch_axis)
+            batch = shard_batch(self.mesh, batch, batch_axis=batch_axis,
+                                local_rows=True)
         return batch
 
-    def _sample_host_batch_single(self, real_training_set, synth_training_set) -> Dict[str, Any]:
+    def _sample_host_batch_single(self, real_training_set, synth_training_set,
+                                  d_fields: bool = True,
+                                  g_fields: bool = True) -> Dict[str, Any]:
         from confignet_tpu.runtime import gather_images, gather_rows
 
         # Runs on the prefetch thread: use a dedicated RandomState (seeded
@@ -606,29 +627,33 @@ class ConfigNetFirstStage:
         # assembles the global array from the per-process shards.
         from confignet_tpu.parallel import process_slice
 
-        sl = process_slice(batch_size)
-        sl_g = process_slice(n_synth)
-        d_idx = rng.randint(0, real_training_set.imgs.shape[0], batch_size)[sl]
-        sd_idx = rng.randint(0, synth_training_set.imgs.shape[0], batch_size)[sl]
-        sd_fm_idx = rng.randint(0, synth_training_set.imgs.shape[0], batch_size)[sl]
-        ld_fm_idx = rng.randint(0, synth_training_set.imgs.shape[0], batch_size)[sl]
-        g_idx = rng.randint(0, synth_training_set.imgs.shape[0], n_synth)[sl_g]
-
-        batch = {
-            "d_real_imgs": gather_images(real_training_set.imgs, d_idx),
-            "synth_d_real_imgs": gather_images(synth_training_set.imgs, sd_idx),
-            "synth_d_facemodel": self._facemodel_batch(synth_training_set, sd_fm_idx),
-            "synth_d_rotations": np.ascontiguousarray(
-                synth_training_set.metadata_inputs["rotations"][sd_fm_idx], dtype=np.float32
-            ),
-            "latent_d_facemodel": self._facemodel_batch(synth_training_set, ld_fm_idx),
-            "g_facemodel": self._facemodel_batch(synth_training_set, g_idx),
-            "g_rotations": np.ascontiguousarray(
-                synth_training_set.metadata_inputs["rotations"][g_idx], dtype=np.float32
-            ),
-            "g_gt_imgs": gather_images(synth_training_set.imgs, g_idx),
-            "g_eye_masks": gather_rows(np.asarray(synth_training_set.eye_masks), g_idx),
-        }
+        batch: Dict[str, Any] = {}
+        if d_fields:
+            sl = process_slice(batch_size)
+            d_idx = rng.randint(0, real_training_set.imgs.shape[0], batch_size)[sl]
+            sd_idx = rng.randint(0, synth_training_set.imgs.shape[0], batch_size)[sl]
+            sd_fm_idx = rng.randint(0, synth_training_set.imgs.shape[0], batch_size)[sl]
+            ld_fm_idx = rng.randint(0, synth_training_set.imgs.shape[0], batch_size)[sl]
+            batch.update({
+                "d_real_imgs": gather_images(real_training_set.imgs, d_idx),
+                "synth_d_real_imgs": gather_images(synth_training_set.imgs, sd_idx),
+                "synth_d_facemodel": self._facemodel_batch(synth_training_set, sd_fm_idx),
+                "synth_d_rotations": np.ascontiguousarray(
+                    synth_training_set.metadata_inputs["rotations"][sd_fm_idx], dtype=np.float32
+                ),
+                "latent_d_facemodel": self._facemodel_batch(synth_training_set, ld_fm_idx),
+            })
+        if g_fields:
+            sl_g = process_slice(n_synth)
+            g_idx = rng.randint(0, synth_training_set.imgs.shape[0], n_synth)[sl_g]
+            batch.update({
+                "g_facemodel": self._facemodel_batch(synth_training_set, g_idx),
+                "g_rotations": np.ascontiguousarray(
+                    synth_training_set.metadata_inputs["rotations"][g_idx], dtype=np.float32
+                ),
+                "g_gt_imgs": gather_images(synth_training_set.imgs, g_idx),
+                "g_eye_masks": gather_rows(np.asarray(synth_training_set.eye_masks), g_idx),
+            })
         return batch
 
     # ------------------------------------------------------------------
@@ -637,6 +662,18 @@ class ConfigNetFirstStage:
 
     def get_training_step_number(self) -> int:
         return 0 if "loss_sum" not in self.g_losses else len(self.g_losses["loss_sum"]) - 1
+
+    def get_resume_step(self) -> int:
+        """First step a resumed ``train()`` runs: the COUNT of completed
+        steps in the loss history.  The reference resumes from
+        get_training_step_number() (= last completed INDEX,
+        confignet_first_stage.py:599-604), re-running the final step and
+        appending a duplicate loss row; with our split checkpoint gates
+        that one-row offset would also desynchronize the loop's
+        ``step % period`` from run_checkpoints' history-derived
+        step_number, silently disabling every later checkpoint.  Counting
+        rows keeps both counters equal on fresh AND resumed runs."""
+        return 0 if "loss_sum" not in self.g_losses else len(self.g_losses["loss_sum"])
 
     def get_batch_size(self) -> int:
         return self.config["batch_size"]
@@ -710,7 +747,7 @@ class ConfigNetFirstStage:
                             real_training_set=real_training_set, mesh=mesh)
         if aml_run is not None:
             self.aml_sink = lambda name, value: aml_run.log(name, value)
-        start_step = self.get_training_step_number()
+        start_step = self.get_resume_step()
 
         if self._train_step_fn is None:
             self._train_step_fn = self._build_train_step()
@@ -805,6 +842,7 @@ class ConfigNetFirstStage:
         metrics_due = step_number % self.config["metrics_checkpoint_period"] == 0
         if not (image_due or metrics_due):
             return
+        self.checkpoint_events_run += 1
 
         if self._checkpoint_worker is None:
             losses = {"g": self.g_losses, "d": self.d_losses,

@@ -207,18 +207,8 @@ class ConfigNet(ConfigNetFirstStage):
             losses["loss_sum"] = sum(losses.values())
             return losses["loss_sum"], losses
 
-        n_d_updates = int(cfg.get("n_discriminator_updates", 1))
-        n_g_updates = int(cfg.get("n_generator_updates", 1))
-        # Same multi-sub-update contract as stage 1: fresh stacked batches
-        # per sub-update (reference confignet_second_stage.py:280-287),
-        # statically unrolled inside the one jitted program.
-        multi = n_d_updates > 1 or n_g_updates > 1
-
-        def sub_batch(batch, u, g_fields):
-            picked = {k: v for k, v in batch.items() if k.startswith("g_") == g_fields}
-            if not multi:
-                return picked
-            return jax.tree_util.tree_map(lambda x: x[u], picked)
+        # Same multi-sub-update contract as stage 1 (shared helper).
+        n_d_updates, n_g_updates, multi, sub_batch = self._sub_update_plan()
 
         def train_step(state: FirstStageState, key, batch, vgg_params, vggface_params):
             d_keys = jax.random.split(jax.random.fold_in(key, 0), n_d_updates)
@@ -347,14 +337,19 @@ class ConfigNet(ConfigNetFirstStage):
     # Host batch assembly (stage 2 needs real-image batches for more steps)
     # ------------------------------------------------------------------
 
-    def _sample_host_batch_single(self, real_training_set, synth_training_set) -> Dict[str, Any]:
+    def _sample_host_batch_single(self, real_training_set, synth_training_set,
+                                  d_fields: bool = True,
+                                  g_fields: bool = True) -> Dict[str, Any]:
         from confignet_tpu.runtime import gather_images, gather_rows
 
         # Same contract as stage 1 (first_stage.py:524-528): the dedicated
         # RandomState keeps the prefetch-thread batch stream isolated from
         # main-thread np.random use (checkpoint-time draws), preserving
         # run-to-run batch reproducibility and avoiding two-thread mutation
-        # of the non-thread-safe global RNG.
+        # of the non-thread-safe global RNG.  d_fields/g_fields limit the
+        # draw to one player's field group (multi-sub-update surplus draws
+        # skip the other player's image gathers — see
+        # first_stage._sample_host_batch).
         rng = self._batch_rng
         batch_size = self.config["batch_size"]
         n_synth = batch_size // 2
@@ -364,36 +359,40 @@ class ConfigNet(ConfigNetFirstStage):
         # first_stage._sample_host_batch_single / parallel.process_slice).
         from confignet_tpu.parallel import process_slice
 
-        sl = process_slice(batch_size)
-        sl_g = process_slice(n_synth)
-        sl_r = process_slice(n_real)
-        d_real_idx = rng.randint(0, real_training_set.imgs.shape[0], batch_size)[sl]
-        d_input_idx = rng.randint(0, real_training_set.imgs.shape[0], batch_size)[sl]
-        sd_idx = rng.randint(0, synth_training_set.imgs.shape[0], batch_size)[sl]
-        sd_fm_idx = rng.randint(0, synth_training_set.imgs.shape[0], batch_size)[sl]
-        ld_real_idx = rng.randint(0, real_training_set.imgs.shape[0], batch_size)[sl]
-        ld_fm_idx = rng.randint(0, synth_training_set.imgs.shape[0], batch_size)[sl]
-        g_idx = rng.randint(0, synth_training_set.imgs.shape[0], n_synth)[sl_g]
-        g_real_idx = rng.randint(0, real_training_set.imgs.shape[0], n_real)[sl_r]
-
-        batch = {
-            "d_real_imgs": gather_images(real_training_set.imgs, d_real_idx),
-            "d_input_imgs": gather_images(real_training_set.imgs, d_input_idx),
-            "synth_d_real_imgs": gather_images(synth_training_set.imgs, sd_idx),
-            "synth_d_facemodel": self._facemodel_batch(synth_training_set, sd_fm_idx),
-            "synth_d_rotations": np.ascontiguousarray(
-                synth_training_set.metadata_inputs["rotations"][sd_fm_idx], dtype=np.float32
-            ),
-            "latent_d_real_imgs": gather_images(real_training_set.imgs, ld_real_idx),
-            "latent_d_facemodel": self._facemodel_batch(synth_training_set, ld_fm_idx),
-            "g_facemodel": self._facemodel_batch(synth_training_set, g_idx),
-            "g_rotations": np.ascontiguousarray(
-                synth_training_set.metadata_inputs["rotations"][g_idx], dtype=np.float32
-            ),
-            "g_gt_imgs": gather_images(synth_training_set.imgs, g_idx),
-            "g_eye_masks": gather_rows(np.asarray(synth_training_set.eye_masks), g_idx),
-            "g_real_imgs": gather_images(real_training_set.imgs, g_real_idx),
-        }
+        batch: Dict[str, Any] = {}
+        if d_fields:
+            sl = process_slice(batch_size)
+            d_real_idx = rng.randint(0, real_training_set.imgs.shape[0], batch_size)[sl]
+            d_input_idx = rng.randint(0, real_training_set.imgs.shape[0], batch_size)[sl]
+            sd_idx = rng.randint(0, synth_training_set.imgs.shape[0], batch_size)[sl]
+            sd_fm_idx = rng.randint(0, synth_training_set.imgs.shape[0], batch_size)[sl]
+            ld_real_idx = rng.randint(0, real_training_set.imgs.shape[0], batch_size)[sl]
+            ld_fm_idx = rng.randint(0, synth_training_set.imgs.shape[0], batch_size)[sl]
+            batch.update({
+                "d_real_imgs": gather_images(real_training_set.imgs, d_real_idx),
+                "d_input_imgs": gather_images(real_training_set.imgs, d_input_idx),
+                "synth_d_real_imgs": gather_images(synth_training_set.imgs, sd_idx),
+                "synth_d_facemodel": self._facemodel_batch(synth_training_set, sd_fm_idx),
+                "synth_d_rotations": np.ascontiguousarray(
+                    synth_training_set.metadata_inputs["rotations"][sd_fm_idx], dtype=np.float32
+                ),
+                "latent_d_real_imgs": gather_images(real_training_set.imgs, ld_real_idx),
+                "latent_d_facemodel": self._facemodel_batch(synth_training_set, ld_fm_idx),
+            })
+        if g_fields:
+            sl_g = process_slice(n_synth)
+            sl_r = process_slice(n_real)
+            g_idx = rng.randint(0, synth_training_set.imgs.shape[0], n_synth)[sl_g]
+            g_real_idx = rng.randint(0, real_training_set.imgs.shape[0], n_real)[sl_r]
+            batch.update({
+                "g_facemodel": self._facemodel_batch(synth_training_set, g_idx),
+                "g_rotations": np.ascontiguousarray(
+                    synth_training_set.metadata_inputs["rotations"][g_idx], dtype=np.float32
+                ),
+                "g_gt_imgs": gather_images(synth_training_set.imgs, g_idx),
+                "g_eye_masks": gather_rows(np.asarray(synth_training_set.eye_masks), g_idx),
+                "g_real_imgs": gather_images(real_training_set.imgs, g_real_idx),
+            })
         return batch
 
     # ------------------------------------------------------------------
@@ -432,7 +431,7 @@ class ConfigNet(ConfigNetFirstStage):
         )
         if aml_run is not None:
             self.aml_sink = lambda name, value: aml_run.log(name, value)
-        start_step = self.get_training_step_number()
+        start_step = self.get_resume_step()
 
         if self._train_step_fn is None:
             self._train_step_fn = self._build_train_step()

@@ -41,9 +41,17 @@ def main() -> int:
     local = rows[process_slice(global_batch)]
     assert local.shape[0] == global_batch // nproc
 
-    batch = shard_batch(mesh, {"x": local})
+    batch = shard_batch(mesh, {"x": local}, local_rows=True)
     x = batch["x"]
     assert x.shape == (global_batch, 3), x.shape
+
+    # Serving layout: the full global batch on every host; shard_batch
+    # slices this host's rows itself (local_rows=False, the default).
+    xg = shard_batch(mesh, {"x": rows})["x"]
+    assert xg.shape == (global_batch, 3), xg.shape
+    np.testing.assert_allclose(
+        np.asarray(jax.jit(lambda a: jnp.sum(a),
+                           out_shardings=NamedSharding(mesh, P()))(xg)), 84.0)
 
     # A global reduction must see ALL hosts' rows: sum(0..7) * 3 = 84.
     out = jax.jit(
@@ -53,7 +61,7 @@ def main() -> int:
 
     # The (n_updates, batch, ...) stacked layout shards on axis 1.
     stacked = np.stack([local, local + 100.0])
-    b2 = shard_batch(mesh, {"x": stacked}, batch_axis=1)
+    b2 = shard_batch(mesh, {"x": stacked}, batch_axis=1, local_rows=True)
     assert b2["x"].shape == (2, global_batch, 3), b2["x"].shape
     out2 = jax.jit(
         lambda a: jnp.sum(a[1]), out_shardings=NamedSharding(mesh, P())

@@ -247,3 +247,38 @@ def test_async_checkpointing_train_loop(dataset, tmp_path):
 
     loaded = load_confignet(os.path.join(ckpt_dir, saved[-1]))
     assert loaded.MODEL_TYPE == "ConfigNetFirstStage"
+
+
+@pytest.mark.slow
+def test_resumed_train_keeps_checkpointing(dataset, tmp_path):
+    """Resumed train() calls must keep firing checkpoints.
+
+    Round-4 regression: start_step came from get_training_step_number()
+    (last completed INDEX, the reference's resume quirk at
+    confignet_first_stage.py:599-604), so a resumed run re-ran the last
+    step, appended a duplicate loss row, and the +1 offset between the
+    loop's `step % period` gate and run_checkpoints' history-derived
+    step_number silently disabled every subsequent checkpoint (and the
+    checkpoint-cost bench measured nothing).
+    """
+    cfg = dict(TINY_FIRST_STAGE_CONFIG, loss_print_period=1,
+               async_checkpointing=False)
+    model = ConfigNetFirstStage(cfg)
+    # Window 1: no checkpoints (huge periods), runs steps 0..2.
+    model.train(dataset, dataset, str(tmp_path), str(tmp_path / "logs"),
+                n_steps=3, n_samples_for_metrics=2)
+    assert model.get_resume_step() == 3  # no duplicate loss rows
+    assert model.checkpoint_events_run == 1  # step 0 only (0 % 10**9 == 0)
+
+    # Window 2 (resumed): dense cadence must actually dispatch.
+    model.config["image_checkpoint_period"] = 2
+    model.config["metrics_checkpoint_period"] = 2
+    model.train(dataset, dataset, str(tmp_path), str(tmp_path / "logs"),
+                n_steps=7, n_samples_for_metrics=2)
+    assert model.get_resume_step() == 7
+    # Steps 3..6 ran; steps 4 and 6 are checkpoint steps.
+    assert model.checkpoint_events_run == 3
+    assert len(model.metrics.get("training_step_number", [])) >= 2
+    imgs = os.listdir(os.path.join(str(tmp_path), "output_imgs"))
+    assert any(f.startswith("000004") for f in imgs)
+    assert any(f.startswith("000006") for f in imgs)

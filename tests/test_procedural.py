@@ -90,3 +90,46 @@ def test_deterministic_given_seed():
     np.testing.assert_array_equal(a.imgs, b.imgs)
     for name in a.metadata_inputs:
         np.testing.assert_array_equal(a.metadata_inputs[name], b.metadata_inputs[name])
+
+
+def test_labels_agree_with_rendered_pixels():
+    """Mustache / Narrow_Eyes labels must describe what _render_face draws
+    (round-4 review: ~29% of faces rendered a faint mustache labeled 0, and
+    a blink countered by EyeWide rendered open eyes labeled 'narrow')."""
+    from confignet_tpu.data.procedural import derive_attributes
+
+    base = {
+        "blendshape_values": _named_blendshapes(),
+        "head_hair_color": np.array([0.1, 0.2, 0.3], np.float32),
+        "eye_color": np.array([0.5, 0.5, 0.5], np.float32),
+        "geometry_identity_params": np.zeros(4, np.float32),
+    }
+
+    # Mustache: the render threshold IS the label threshold (beard0 = 0);
+    # just below it nothing is drawn and the label is 0, just above both flip.
+    for beard0, expect in [(-0.2, 0), (0.2, 1)]:
+        beard = np.zeros(9, np.float32)
+        beard[0] = beard0
+        p = dict(base, beard_style_embedding=beard)
+        assert derive_attributes(p)["Mustache"] == expect
+    below = dict(base, beard_style_embedding=np.array([-0.2] + [0.0] * 8, np.float32))
+    above = dict(base, beard_style_embedding=np.array([0.2] + [0.0] * 8, np.float32))
+    none = dict(base, beard_style_embedding=np.array([-3.0] + [0.0] * 8, np.float32))
+    img_below, _ = _render_face(128, 0.0, 0.0, below, canvas_seed=1)
+    img_none, _ = _render_face(128, 0.0, 0.0, none, canvas_seed=1)
+    img_above, _ = _render_face(128, 0.0, 0.0, above, canvas_seed=1)
+    assert (img_below == img_none).all(), "label-0 face must not draw a mustache"
+    assert (img_above != img_none).any(), "label-1 face must draw a mustache"
+
+    # Narrow_Eyes follows the rendered eye opening: a strong blink counters
+    # wide-open lids, so blink+wide is NOT narrow while blink alone is.
+    beard_off = np.full(9, -3.0, np.float32)
+    blink_only = dict(base, beard_style_embedding=beard_off,
+                      blendshape_values=_named_blendshapes(
+                          EyeBLinkLeft=0.6, EyeBLinkRight=0.6))
+    blink_and_wide = dict(base, beard_style_embedding=beard_off,
+                          blendshape_values=_named_blendshapes(
+                              EyeBLinkLeft=0.6, EyeBLinkRight=0.6,
+                              EyeWideLeft=1.0, EyeWideRight=1.0))
+    assert derive_attributes(blink_only)["Narrow_Eyes"] == 1
+    assert derive_attributes(blink_and_wide)["Narrow_Eyes"] == 0
