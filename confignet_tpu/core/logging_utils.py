@@ -78,20 +78,43 @@ class TensorBoardWriter:
             self._tf.summary.image(tag, rgb[np.newaxis], step=step)
 
 
+# Curves longer than this are strided down before plotting: keeps the
+# per-checkpoint plotting cost O(1) in run length (a 100k-step run would
+# otherwise redraw 100k-point lines x ~40 subplots every image checkpoint).
+MAX_PLOT_POINTS = 1024
+
+
 def draw_loss_grid(losses: List[List[float]], loss_names: List[str], pix_per_plot: int = 300):
-    """Square grid of semilog loss curves (reference: confignet_utils.py:23-37)."""
+    """Square grid of semilog loss curves (reference: confignet_utils.py:23-37).
+
+    Perf notes (measured on the 1-core rig, round 4): ``plt.subplots`` with
+    fixed spacing instead of per-axes ``plt.subplot`` + ``tight_layout``
+    (tight_layout alone was ~40% of a 25-subplot figure), and long histories
+    are downsampled to MAX_PLOT_POINTS per curve."""
     from matplotlib import pyplot as plt
 
     n_losses = len(loss_names)
     square = int(np.ceil(np.sqrt(max(n_losses, 1))))
     dpi = 100
     pix = square * pix_per_plot
-    plt.figure(figsize=(pix // dpi, pix // dpi), dpi=dpi)
+    fig, axes = plt.subplots(square, square,
+                             figsize=(pix // dpi, pix // dpi), dpi=dpi)
+    axes = np.atleast_1d(axes).ravel()
     for i in range(n_losses):
-        plt.subplot(square, square, i + 1)
-        plt.title(loss_names[i])
-        plt.semilogy(losses[i])
-    plt.tight_layout()
+        y = np.asarray(losses[i], dtype=np.float64)
+        if y.size > MAX_PLOT_POINTS:
+            stride = int(np.ceil(y.size / MAX_PLOT_POINTS))
+            axes[i].semilogy(np.arange(0, y.size, stride), y[::stride])
+        else:
+            axes[i].semilogy(y)
+        axes[i].set_title(loss_names[i])
+        # Minor log ticks are ~70% of the Agg render for a 25-subplot grid
+        # (measured: savefig 2.1s -> 0.7s); the curves don't need them.
+        axes[i].minorticks_off()
+    for ax in axes[n_losses:]:
+        ax.set_axis_off()
+    fig.subplots_adjust(hspace=0.55, wspace=0.35,
+                        left=0.06, right=0.98, top=0.94, bottom=0.05)
 
 
 def log_loss_vals(
@@ -122,7 +145,13 @@ def log_loss_vals(
         plt.savefig(os.path.join(output_dir, prefix + "losses.png"))
         plt.close()
         if "loss_sum" in loss_dict:
-            plt.semilogy(loss_dict["loss_sum"])
+            y = np.asarray(loss_dict["loss_sum"], dtype=np.float64)
+            if y.size > MAX_PLOT_POINTS:
+                stride = int(np.ceil(y.size / MAX_PLOT_POINTS))
+                plt.semilogy(np.arange(0, y.size, stride), y[::stride])
+            else:
+                plt.semilogy(y)
+            plt.minorticks_off()
             plt.savefig(os.path.join(output_dir, prefix + "loss_sum.png"))
             plt.close()
 

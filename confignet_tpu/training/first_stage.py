@@ -955,7 +955,12 @@ class ConfigNetFirstStage:
         try:
             import cv2
 
-            cv2.imwrite(path, img_bgr)
+            # Checkpoint panels are multi-megapixel; zlib level 1 encodes
+            # ~3x faster than cv2's default (3) for ~15% larger files —
+            # the right trade on the checkpoint path.
+            params = ([cv2.IMWRITE_PNG_COMPRESSION, 1]
+                      if path.endswith(".png") else [])
+            cv2.imwrite(path, img_bgr, params)
         except ImportError:  # pragma: no cover
             from PIL import Image
 

@@ -151,3 +151,18 @@ def test_log_loss_vals_writes_sinks(tmp_path):
     log_loss_vals(hist, str(tmp_path), step_number=2, prefix="D_")
     assert (tmp_path / "D_losses.png").exists()
     assert (tmp_path / "D_loss_sum.png").exists()
+
+
+def test_log_loss_vals_long_history_downsampled(tmp_path):
+    """Plot cost stays O(1) in run length: curves beyond MAX_PLOT_POINTS are
+    strided down (round-4 checkpoint-cost fix) but files still land."""
+    from confignet_tpu.core.logging_utils import MAX_PLOT_POINTS
+
+    n = MAX_PLOT_POINTS * 3 + 7
+    hist = {"loss_sum": list(np.linspace(10.0, 1.0, n)), "aux": [1.0] * n}
+    log_loss_vals(hist, str(tmp_path), step_number=n, prefix="L_")
+    assert (tmp_path / "L_losses.png").exists()
+    assert (tmp_path / "L_loss_sum.png").exists()
+    # txt table is NOT downsampled — it is the full-fidelity record
+    table = np.loadtxt(tmp_path / "L_losses.txt")
+    assert table.shape[0] == n
