@@ -69,5 +69,10 @@ def main(argv=None) -> None:
 if __name__ == "__main__":
     import sys
 
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    # Scripts under setup/ get setup/ (not the repo root) as sys.path[0];
+    # add both so `confignet_tpu` and the sibling run_quality_evidence
+    # resolve when invoked as `python setup/rerun_controllability.py`.
+    _here = os.path.dirname(os.path.abspath(__file__))
+    sys.path.insert(0, _here)
+    sys.path.insert(0, os.path.dirname(_here))
     main()
