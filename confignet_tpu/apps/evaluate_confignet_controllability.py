@@ -58,7 +58,9 @@ def parse_args(args):
     corr_coefs = [v[3] for _, v in tuples]
     tick_labels = [k for k, _ in tuples]
 
-    from matplotlib import pyplot as plt
+    from confignet_tpu.core.logging_utils import _plt
+
+    plt = _plt()
 
     plt.figure(figsize=(12, 9))
     plt.plot(set_vals)

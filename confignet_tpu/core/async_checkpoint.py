@@ -50,7 +50,11 @@ class CheckpointWorker:
                 job()
             except BaseException as exc:  # noqa: BLE001 — surfaced on next submit/drain
                 traceback.print_exc()
-                self._error = exc
+                if self._error is None:
+                    # Keep the FIRST failure: later queued jobs usually fail
+                    # from the same root cause (full disk, dead device) and
+                    # would mask it.
+                    self._error = exc
             finally:
                 self._queue.task_done()
 

@@ -84,6 +84,37 @@ class TensorBoardWriter:
 MAX_PLOT_POINTS = 1024
 
 
+def _plt():
+    """pyplot with the Agg backend pinned.  Loss plots render on the async
+    checkpoint worker thread; interactive backends (TkAgg/QtAgg) require the
+    main thread and would crash there."""
+    import matplotlib
+
+    matplotlib.use("Agg", force=True)
+    from matplotlib import pyplot as plt
+
+    return plt
+
+
+def _semilogy_downsampled(ax, y) -> None:
+    """Semilog curve capped at MAX_PLOT_POINTS points (strided, always
+    keeping the final value so the plot ends at the latest loss).  Minor
+    log ticks are ~70% of the Agg render for a 25-subplot grid (measured:
+    savefig 2.1s -> 0.7s); the curves don't need them."""
+    y = np.asarray(y, dtype=np.float64)
+    if y.size > MAX_PLOT_POINTS:
+        stride = int(np.ceil(y.size / MAX_PLOT_POINTS))
+        xs = np.arange(0, y.size, stride)
+        ys = y[::stride]
+        if xs[-1] != y.size - 1:
+            xs = np.append(xs, y.size - 1)
+            ys = np.append(ys, y[-1])
+        ax.semilogy(xs, ys)
+    else:
+        ax.semilogy(y)
+    ax.minorticks_off()
+
+
 def draw_loss_grid(losses: List[List[float]], loss_names: List[str], pix_per_plot: int = 300):
     """Square grid of semilog loss curves (reference: confignet_utils.py:23-37).
 
@@ -91,7 +122,7 @@ def draw_loss_grid(losses: List[List[float]], loss_names: List[str], pix_per_plo
     fixed spacing instead of per-axes ``plt.subplot`` + ``tight_layout``
     (tight_layout alone was ~40% of a 25-subplot figure), and long histories
     are downsampled to MAX_PLOT_POINTS per curve."""
-    from matplotlib import pyplot as plt
+    plt = _plt()
 
     n_losses = len(loss_names)
     square = int(np.ceil(np.sqrt(max(n_losses, 1))))
@@ -101,16 +132,8 @@ def draw_loss_grid(losses: List[List[float]], loss_names: List[str], pix_per_plo
                              figsize=(pix // dpi, pix // dpi), dpi=dpi)
     axes = np.atleast_1d(axes).ravel()
     for i in range(n_losses):
-        y = np.asarray(losses[i], dtype=np.float64)
-        if y.size > MAX_PLOT_POINTS:
-            stride = int(np.ceil(y.size / MAX_PLOT_POINTS))
-            axes[i].semilogy(np.arange(0, y.size, stride), y[::stride])
-        else:
-            axes[i].semilogy(y)
+        _semilogy_downsampled(axes[i], losses[i])
         axes[i].set_title(loss_names[i])
-        # Minor log ticks are ~70% of the Agg render for a 25-subplot grid
-        # (measured: savefig 2.1s -> 0.7s); the curves don't need them.
-        axes[i].minorticks_off()
     for ax in axes[n_losses:]:
         ax.set_axis_off()
     fig.subplots_adjust(hspace=0.55, wspace=0.35,
@@ -139,19 +162,13 @@ def log_loss_vals(
         for name, value in zip(loss_names, most_recent):
             extra_sink(prefix + name, value)
     elif draw_plots:
-        from matplotlib import pyplot as plt
+        plt = _plt()
 
         draw_loss_grid(loss_vals, loss_names)
         plt.savefig(os.path.join(output_dir, prefix + "losses.png"))
         plt.close()
         if "loss_sum" in loss_dict:
-            y = np.asarray(loss_dict["loss_sum"], dtype=np.float64)
-            if y.size > MAX_PLOT_POINTS:
-                stride = int(np.ceil(y.size / MAX_PLOT_POINTS))
-                plt.semilogy(np.arange(0, y.size, stride), y[::stride])
-            else:
-                plt.semilogy(y)
-            plt.minorticks_off()
+            _semilogy_downsampled(plt.gca(), loss_dict["loss_sum"])
             plt.savefig(os.path.join(output_dir, prefix + "loss_sum.png"))
             plt.close()
 

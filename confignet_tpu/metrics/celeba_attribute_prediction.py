@@ -209,7 +209,9 @@ class CelebaAttributeClassifier:
             os.makedirs(best_dir, exist_ok=True)
             self.save(best_dir, str(epoch).zfill(4))
 
-        from matplotlib import pyplot as plt
+        from confignet_tpu.core.logging_utils import _plt
+
+        plt = _plt()
 
         plt.plot(self.logs["loss"])
         plt.plot(self.logs["val_loss"])

@@ -176,7 +176,9 @@ class InceptionMetrics:
             aml_sink("Kernel Inception Distance", kid)
             aml_sink("Frechet Inception Distance", fid)
         else:
-            from matplotlib import pyplot as plt
+            from confignet_tpu.core.logging_utils import _plt
+
+            plt = _plt()  # Agg: this runs on the async checkpoint worker thread
 
             ax = plt.gca()
             ax.set_ylabel("KID", color="tab:blue")

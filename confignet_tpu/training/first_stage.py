@@ -742,7 +742,10 @@ class ConfigNetFirstStage:
         ).astype(np.float32)
 
     def train(self, real_training_set, synth_training_set, output_dir, log_dir,
-              n_steps=100000, n_samples_for_metrics=1000, aml_run=None, mesh=None) -> None:
+              n_steps=100000, n_samples_for_metrics=1000, aml_run=None,
+              mesh=None) -> Dict[str, float]:
+        """Run the training loop; returns {'loop_seconds', 'steps_run'} — the
+        loop-only wall time (bench_train.py consumes it)."""
         self.setup_training(log_dir, synth_training_set, n_samples_for_metrics,
                             real_training_set=real_training_set, mesh=mesh)
         if aml_run is not None:
@@ -772,7 +775,13 @@ class ConfigNetFirstStage:
             depth=self.config.get("prefetch_depth", 2),
             device_put=self.mesh is None,  # shard_batch already placed mesh batches
         )
-        if self.config.get("async_checkpointing", True):
+        if self.config.get("async_checkpointing", True) and jax.process_count() == 1:
+            # Multi-process JAX requires every process to enqueue the same
+            # computations in the same order; a worker thread issuing the
+            # checkpoint's device work (metric generation) would race the
+            # main loop's step dispatches and deadlock the gang-scheduled
+            # runtime.  Multi-host runs therefore checkpoint inline (every
+            # process executes the identical block at the same step).
             from confignet_tpu.core.async_checkpoint import CheckpointWorker
 
             self._checkpoint_worker = CheckpointWorker()
@@ -854,10 +863,18 @@ class ConfigNetFirstStage:
 
         # HBM copies (one jitted dispatch per tree structure): the worker
         # must never read live state — the next train step donates it.
+        # Image-only checkpoints copy just the three inference trees; the
+        # full-model snapshot (all 7 trees, one extra model in HBM per
+        # queued job) is only taken when the save itself is due.
         if self._snapshot_fn is None:
             self._snapshot_fn = jax.jit(
                 lambda t: jax.tree_util.tree_map(jnp.copy, t))
-        device_weights = self._snapshot_fn(self._get_device_weights())
+        live_weights = self._get_device_weights()
+        if not metrics_due:
+            infer_keys = ("generator_smoothed", "synthetic_encoder", "real_encoder")
+            live_weights = {k: live_weights[k] for k in infer_keys
+                            if k in live_weights}
+        device_weights = self._snapshot_fn(live_weights)
         infer_snap = {
             "generator_smoothed": device_weights["generator_smoothed"],
             "synthetic_encoder": device_weights["synthetic_encoder"],

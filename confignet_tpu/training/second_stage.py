@@ -423,7 +423,10 @@ class ConfigNet(ConfigNetFirstStage):
 
     def train(self, real_training_set, synth_training_set, validation_set=None,
               attribute_classifier=None, output_dir=None, log_dir=None,
-              n_steps=100000, n_samples_for_metrics=1000, aml_run=None, mesh=None) -> None:
+              n_steps=100000, n_samples_for_metrics=1000, aml_run=None,
+              mesh=None) -> Dict[str, float]:
+        """Run the training loop; returns {'loop_seconds', 'steps_run'} — the
+        loop-only wall time (bench_train.py consumes it)."""
         self.setup_training(
             log_dir, synth_training_set, n_samples_for_metrics,
             attribute_classifier=attribute_classifier,

@@ -37,6 +37,10 @@ ARMS = {
     "baseline_imgx10": {},
     "img_x1": {"image_loss_weight_mult": 0.1},
     "domain_adv_off": {"domain_adverserial_loss_weight": 0.0},
+    # The latent-regression cycle loss (reference losses.py:85-90, weight 10)
+    # is the term that forces G to keep every latent slice pixel-visible —
+    # boost it to test whether it actively recovers conditioning strength.
+    "latreg_x10": {"latent_regression_weight": 100.0},
 }
 
 
