@@ -127,6 +127,16 @@ DEFAULT_CONFIG: Dict[str, Any] = {
 }
 
 
+def _use_async_checkpointing(config: Dict[str, Any]) -> bool:
+    """Async checkpointing is single-process only: multi-process JAX requires
+    every process to enqueue the same computations in the same order, and a
+    worker thread issuing the checkpoint's device work (metric generation)
+    would race the main loop's step dispatches and deadlock the gang-scheduled
+    runtime.  Multi-host runs checkpoint inline (every process executes the
+    identical block at the same step)."""
+    return bool(config.get("async_checkpointing", True)) and jax.process_count() == 1
+
+
 class FirstStageState(struct.PyTreeNode):
     """All trainable state of the first stage as one pytree."""
 
@@ -775,13 +785,7 @@ class ConfigNetFirstStage:
             depth=self.config.get("prefetch_depth", 2),
             device_put=self.mesh is None,  # shard_batch already placed mesh batches
         )
-        if self.config.get("async_checkpointing", True) and jax.process_count() == 1:
-            # Multi-process JAX requires every process to enqueue the same
-            # computations in the same order; a worker thread issuing the
-            # checkpoint's device work (metric generation) would race the
-            # main loop's step dispatches and deadlock the gang-scheduled
-            # runtime.  Multi-host runs therefore checkpoint inline (every
-            # process executes the identical block at the same step).
+        if _use_async_checkpointing(self.config):
             from confignet_tpu.core.async_checkpoint import CheckpointWorker
 
             self._checkpoint_worker = CheckpointWorker()

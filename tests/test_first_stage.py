@@ -223,6 +223,19 @@ def test_n_player_updates_honored(dataset, tmp_path):
         assert np.isfinite(losses[group]["loss_sum"]), group
 
 
+def test_async_checkpointing_is_single_process_only(monkeypatch):
+    """Multi-process runs must checkpoint inline: a worker thread enqueueing
+    device work would race the main loop's step dispatches and violate the
+    same-order-everywhere requirement of multi-host JAX."""
+    from confignet_tpu.training.first_stage import _use_async_checkpointing
+
+    assert _use_async_checkpointing({}) is True  # default on, 1 process
+    assert _use_async_checkpointing({"async_checkpointing": False}) is False
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    assert _use_async_checkpointing({}) is False
+    assert _use_async_checkpointing({"async_checkpointing": True}) is False
+
+
 @pytest.mark.slow
 def test_async_checkpointing_train_loop(dataset, tmp_path):
     """train() with async_checkpointing (the default) writes the same
