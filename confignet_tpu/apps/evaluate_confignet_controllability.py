@@ -58,9 +58,9 @@ def parse_args(args):
     corr_coefs = [v[3] for _, v in tuples]
     tick_labels = [k for k, _ in tuples]
 
-    from confignet_tpu.core.logging_utils import _plt
+    from confignet_tpu.core.logging_utils import agg_pyplot
 
-    plt = _plt()
+    plt = agg_pyplot()
 
     plt.figure(figsize=(12, 9))
     plt.plot(set_vals)

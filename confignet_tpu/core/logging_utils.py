@@ -84,10 +84,12 @@ class TensorBoardWriter:
 MAX_PLOT_POINTS = 1024
 
 
-def _plt():
-    """pyplot with the Agg backend pinned.  Loss plots render on the async
-    checkpoint worker thread; interactive backends (TkAgg/QtAgg) require the
-    main thread and would crash there."""
+def agg_pyplot():
+    """pyplot with the Agg backend pinned — the sanctioned way to get
+    pyplot anywhere in this package.  Loss plots render on the async
+    checkpoint worker thread; interactive backends (TkAgg/QtAgg) require
+    the main thread and would crash there, so never import pyplot
+    directly."""
     import matplotlib
 
     matplotlib.use("Agg", force=True)
@@ -122,7 +124,7 @@ def draw_loss_grid(losses: List[List[float]], loss_names: List[str], pix_per_plo
     fixed spacing instead of per-axes ``plt.subplot`` + ``tight_layout``
     (tight_layout alone was ~40% of a 25-subplot figure), and long histories
     are downsampled to MAX_PLOT_POINTS per curve."""
-    plt = _plt()
+    plt = agg_pyplot()
 
     n_losses = len(loss_names)
     square = int(np.ceil(np.sqrt(max(n_losses, 1))))
@@ -162,7 +164,7 @@ def log_loss_vals(
         for name, value in zip(loss_names, most_recent):
             extra_sink(prefix + name, value)
     elif draw_plots:
-        plt = _plt()
+        plt = agg_pyplot()
 
         draw_loss_grid(loss_vals, loss_names)
         plt.savefig(os.path.join(output_dir, prefix + "losses.png"))

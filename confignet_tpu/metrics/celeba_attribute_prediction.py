@@ -209,9 +209,9 @@ class CelebaAttributeClassifier:
             os.makedirs(best_dir, exist_ok=True)
             self.save(best_dir, str(epoch).zfill(4))
 
-        from confignet_tpu.core.logging_utils import _plt
+        from confignet_tpu.core.logging_utils import agg_pyplot
 
-        plt = _plt()
+        plt = agg_pyplot()
 
         plt.plot(self.logs["loss"])
         plt.plot(self.logs["val_loss"])

@@ -176,9 +176,9 @@ class InceptionMetrics:
             aml_sink("Kernel Inception Distance", kid)
             aml_sink("Frechet Inception Distance", fid)
         else:
-            from confignet_tpu.core.logging_utils import _plt
+            from confignet_tpu.core.logging_utils import agg_pyplot
 
-            plt = _plt()  # Agg: this runs on the async checkpoint worker thread
+            plt = agg_pyplot()  # Agg: this runs on the async checkpoint worker thread
 
             ax = plt.gca()
             ax.set_ylabel("KID", color="tab:blue")

@@ -78,11 +78,14 @@ def fused_adain(x, scale, bias, eps: float = 1e-3, interpret: bool = False):
 
 def _fused_adain_fwd(x, scale, bias, eps, interpret):
     out = fused_adain(x, scale, bias, eps, interpret)
-    return out, (x, scale)
+    # bias is saved only so dbias can be cast to ITS dtype (scale and bias
+    # may legitimately differ, e.g. bf16 scale with an f32 bias); it is
+    # (B, C) — negligible next to x.
+    return out, (x, scale, bias)
 
 
 def _fused_adain_bwd(eps, interpret, residuals, g):
-    x, scale = residuals
+    x, scale, bias = residuals
     shape = x.shape
     x3 = x.reshape(shape[0], -1, shape[-1])
     g3 = g.reshape(shape[0], -1, shape[-1]).astype(jnp.float32)
@@ -97,7 +100,7 @@ def _fused_adain_bwd(eps, interpret, residuals, g):
     m_dxhat_xhat = jnp.mean(dxhat * xhat, axis=1, keepdims=True)
     dx3 = rstd * (dxhat - m_dxhat - xhat * m_dxhat_xhat)
     return (dx3.reshape(shape).astype(x.dtype),
-            dscale.astype(scale.dtype), dbias.astype(scale.dtype))
+            dscale.astype(scale.dtype), dbias.astype(bias.dtype))
 
 
 fused_adain.defvjp(_fused_adain_fwd, _fused_adain_bwd)

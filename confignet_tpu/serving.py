@@ -29,9 +29,12 @@ class ConfigNetServer:
     ``chunk`` is the device batch: inputs are padded to a multiple of it so
     any request size hits the same compiled program.
 
-    **Snapshot semantics**: parameters are snapshotted at construction (and
-    baked into the compiled executables), so training or fine-tuning the
-    wrapped model afterwards does NOT change what the server renders.  Call
+    **Snapshot semantics**: parameters are snapshotted (copied) at
+    construction and baked into the compiled executables, so training or
+    fine-tuning the wrapped model afterwards does NOT change what the
+    server renders — the copy also keeps the snapshot valid when a later
+    ``train()`` step donates the trainer's buffers
+    (``jax.jit(..., donate_argnums=(0,))`` in first_stage.py).  Call
     :meth:`refresh` to re-snapshot the current weights; it drops the
     compiled-program cache, so the next call per entry point re-traces
     (~seconds, amortized over the serving session).
@@ -59,13 +62,18 @@ class ConfigNetServer:
         ``fine_tune_on_img`` or further training) and invalidate the
         compiled-program cache so subsequent calls serve the new weights."""
         confignet = self.confignet
-        self._enc_params = confignet.state.generator.params["real_encoder"]
-        self._gen_params = (
+        # Copy rather than alias: the trainer's fused step donates its state
+        # pytree, which would otherwise delete the very buffers this server
+        # baked into its executables (serve-after-train would raise on
+        # deleted arrays instead of rendering the snapshot).
+        snap = lambda tree: jax.tree_util.tree_map(jnp.copy, tree)
+        self._enc_params = snap(confignet.state.generator.params["real_encoder"])
+        self._gen_params = snap(
             confignet._fine_tuned_generator_params
             if getattr(confignet, "_fine_tuned_generator_params", None) is not None
             else confignet.state.generator_smoothed
         )
-        self._synth_params = confignet.state.generator.params["synthetic_encoder"]
+        self._synth_params = snap(confignet.state.generator.params["synthetic_encoder"])
         if self.mesh is not None:
             from confignet_tpu.parallel import replicate
 

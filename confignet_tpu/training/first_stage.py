@@ -800,9 +800,12 @@ class ConfigNetFirstStage:
                 worker, self._checkpoint_worker = self._checkpoint_worker, None
                 worker.close()  # runs pending jobs, re-raises failures
         # Loop-only wall time (incl. the final checkpoint drain), for
-        # benchmarking the step path without setup/compile.
+        # benchmarking the step path without setup/compile.  A resumed model
+        # whose history already exceeds n_steps runs zero steps (the range
+        # is empty) — report 0, not a negative count that would corrupt
+        # downstream steps/s math.
         return {"loop_seconds": time.perf_counter() - loop_start,
-                "steps_run": n_steps - start_step}
+                "steps_run": max(0, n_steps - start_step)}
 
     def _train_loop(self, prefetcher, flusher, start_step, n_steps, vgg_params,
                     image_p, metrics_p, window_start, window_len,

@@ -37,7 +37,11 @@ from confignet_tpu.losses import (
 )
 from confignet_tpu.losses.perceptual import PerceptualLoss
 from confignet_tpu.models.real_encoder import RealEncoder
-from confignet_tpu.training.first_stage import ConfigNetFirstStage, FirstStageState
+from confignet_tpu.training.first_stage import (
+    ConfigNetFirstStage,
+    FirstStageState,
+    _use_async_checkpointing,
+)
 from confignet_tpu.training.state import Player, ema_update
 
 
@@ -461,7 +465,7 @@ class ConfigNet(ConfigNetFirstStage):
             depth=self.config.get("prefetch_depth", 2),
             device_put=self.mesh is None,
         )
-        if self.config.get("async_checkpointing", True):
+        if _use_async_checkpointing(self.config):
             from confignet_tpu.core.async_checkpoint import CheckpointWorker
 
             self._checkpoint_worker = CheckpointWorker()
@@ -476,8 +480,10 @@ class ConfigNet(ConfigNetFirstStage):
             if self._checkpoint_worker is not None:
                 worker, self._checkpoint_worker = self._checkpoint_worker, None
                 worker.close()  # runs pending jobs, re-raises failures
+        # max(0, ...): a resume whose history already exceeds n_steps runs
+        # zero steps; never report a negative count (see first_stage.train).
         return {"loop_seconds": time.perf_counter() - loop_start,
-                "steps_run": n_steps - start_step}
+                "steps_run": max(0, n_steps - start_step)}
 
     def _stage2_train_loop(self, prefetcher, flusher, start_step, n_steps,
                            vgg_params, vggface_params, image_p, metrics_p,

@@ -33,10 +33,18 @@ import os
 
 import numpy as np
 
+# Probe anchors = the controllability protocol's own set-values
+# (controllability_metric_configs.py / data/procedural.HAIR_COLOR_ANCHORS),
+# so probe contrasts are measured between the exact colors the protocol
+# drives and the procedural judge classifies.  NOTE: the round-4 committed
+# artifact (docs/evidence_conditioning_trajectory.json) was generated with
+# an earlier ad-hoc triple — distinct colors, so the conditioning-strength
+# trend it records is valid, but its nicknames did not match the protocol;
+# its keys were corrected to descriptive names.
 HAIR_VALUES = {
-    "blond": (0.7, 0.7, 0.0),
-    "black": (0.0, 0.0, 0.0),
-    "red": (0.8, 0.1, 0.05),
+    "Black_Hair": (0.0, 1.0, 0.0),
+    "Blond_Hair": (0.0, 0.1, 0.1),
+    "Gray_Hair": (0.7, 0.7, 0.0),
 }
 
 

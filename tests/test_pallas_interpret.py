@@ -135,3 +135,22 @@ def test_adain_modulate_partial_axes_stays_xla():
     normed = spatial_instance_norm(x, (1,), 1e-3)
     want = normed * (scale[:, None, None, :] + 1.0) + bias[:, None, None, :]
     np.testing.assert_allclose(np.asarray(out), np.asarray(want), atol=1e-6)
+
+
+def test_fused_adain_grad_dtypes_match_primals():
+    """custom_vjp cotangents must match each primal's dtype even when scale
+    and bias dtypes differ (e.g. bf16 scale with an f32 bias kept for
+    stability) — regression for dbias being cast to scale.dtype."""
+    from confignet_tpu.ops.adain_pallas import fused_adain
+
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.normal(size=(2, 4, 4, 8)), jnp.bfloat16)
+    scale = jnp.asarray(rng.normal(size=(2, 8)), jnp.bfloat16)
+    bias = jnp.asarray(rng.normal(size=(2, 8)), jnp.float32)
+
+    grads = jax.grad(lambda x, s, b: jnp.sum(
+        fused_adain(x, s, b, 1e-3, True).astype(jnp.float32)),
+        argnums=(0, 1, 2))(x, scale, bias)
+    assert grads[0].dtype == x.dtype
+    assert grads[1].dtype == scale.dtype
+    assert grads[2].dtype == bias.dtype

@@ -161,3 +161,17 @@ def test_stage2_batch_sequence_reproducible_across_main_thread_draws(dataset):
     noisy = sample_batch_signatures(
         ConfigNet, TINY_FIRST_STAGE_CONFIG, dataset, 3, interleave=True)
     assert clean == noisy
+
+
+def test_stage2_async_gate_is_multiprocess_safe(model, dataset, tmp_path, monkeypatch):
+    """Stage-2 train() must gate its CheckpointWorker through the shared
+    _use_async_checkpointing helper: in multi-process runs a worker thread
+    enqueueing device work would race the main loop's dispatches (see
+    first_stage._use_async_checkpointing).  Regression test for the gate
+    bypassing the helper and reading the raw config flag."""
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    stats = model.train(dataset, dataset, n_steps=0, n_samples_for_metrics=2,
+                        output_dir=str(tmp_path), log_dir=str(tmp_path))
+    assert model._checkpoint_worker is None
+    # and a no-op window never reports negative steps
+    assert stats["steps_run"] == 0

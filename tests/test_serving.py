@@ -171,3 +171,25 @@ def test_refresh_serves_new_weights(server):
     # restore the module-scoped fixture's state for other tests
     model._fine_tuned_generator_params = None
     srv.refresh()
+
+
+def test_snapshot_survives_donated_train_step(server):
+    """The trainer's fused step donates model.state
+    (jax.jit(..., donate_argnums=(0,)) in first_stage.py), deleting the old
+    buffers.  The server must have COPIED its snapshot at refresh() time,
+    not aliased those buffers, or serve-after-train raises on deleted
+    arrays instead of rendering the documented construction-time weights."""
+    import jax
+
+    srv, model = server
+    latents = np.zeros((1, model.config["latent_dim"]), np.float32)
+    rotations = np.zeros((1, 3), np.float32)
+    before = srv.generate(latents, rotations)
+
+    # Donate the state exactly as the fused train step does; the old
+    # buffers backing model.state (and any aliases) are deleted.
+    model.state = jax.jit(lambda s: jax.tree_util.tree_map(lambda x: x + 0, s),
+                          donate_argnums=(0,))(model.state)
+
+    after = srv.generate(latents, rotations)  # must not raise
+    np.testing.assert_array_equal(before, after)
