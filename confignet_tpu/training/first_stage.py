@@ -123,6 +123,12 @@ DEFAULT_CONFIG: Dict[str, Any] = {
     # device-side snapshots (keeps the step loop dispatching); set False for
     # the reference's inline-blocking behavior.
     "async_checkpointing": True,
+    # Weight-file backend: "npz" (the reference's interchange format,
+    # confignet_first_stage.py:173-206) or "orbax" — sharded, per-host
+    # writes of live device arrays, the option for mesh/multi-host runs
+    # where gathering every replica through device_get->np.savez doesn't
+    # scale.  Config/distr/log sidecar files are identical in both modes.
+    "checkpoint_format": "npz",
     "seed": 0,
 }
 
@@ -924,8 +930,12 @@ class ConfigNetFirstStage:
             os.makedirs(checkpoint_dir, exist_ok=True)
             log_dict = {"g_losses": losses["g"], "d_losses": losses["d"],
                         "metrics": self.metrics}
+            # orbax takes the device trees directly (per-host shard writes);
+            # npz gathers to host first.
+            if self.config.get("checkpoint_format", "npz") != "orbax":
+                device_weights = jax.device_get(device_weights)
             self._write_checkpoint_files(
-                jax.device_get(device_weights), log_dict,
+                device_weights, log_dict,
                 checkpoint_dir, str(step_number).zfill(6))
 
         if image_due:
@@ -1192,15 +1202,24 @@ class ConfigNetFirstStage:
         )
 
     def save(self, output_dir: str, output_filename: str) -> None:
+        # The orbax backend takes live device trees so each host writes only
+        # its addressable shards; npz needs the host copy.
+        weights = (self._get_device_weights()
+                   if self.config.get("checkpoint_format", "npz") == "orbax"
+                   else self.get_weights())
         self._write_checkpoint_files(
-            self.get_weights(), self.get_log_dict(), output_dir, output_filename)
+            weights, self.get_log_dict(), output_dir, output_filename)
 
     def _write_checkpoint_files(self, weights: Dict[str, Any], log_dict: Dict[str, Any],
                                 output_dir: str, output_filename: str) -> None:
         """The IO half of ``save``, callable from the checkpoint worker with
         pre-snapshotted weights/logs."""
         os.makedirs(output_dir, exist_ok=True)
-        model_io.save_model_weights(weights, output_dir, output_filename)
+        if self.config.get("checkpoint_format", "npz") == "orbax":
+            model_io.save_weights_orbax(
+                weights, os.path.join(output_dir, output_filename + ".orbax"))
+        else:
+            model_io.save_model_weights(weights, output_dir, output_filename)
         with open(os.path.join(output_dir, output_filename + ".json"), "w") as fp:
             json.dump(self._json_safe_config(), fp, indent=4)
         with open(
@@ -1234,7 +1253,15 @@ class ConfigNetFirstStage:
         importer, so every entry point (demo, eval CLIs, load_confignet)
         works unmodified against either format."""
         npz_path = os.path.splitext(file_path)[0] + ".npz"
-        if model_io.npz_is_reference_format(npz_path):
+        orbax_path = os.path.splitext(file_path)[0] + ".orbax"
+        if not os.path.exists(npz_path) and os.path.isdir(orbax_path):
+            # checkpoint_format="orbax" runs save a sharded directory
+            # instead of an npz; everything else is identical.
+            with open(file_path, "r") as fp:
+                config = json.load(fp)
+            model = cls(config)
+            model.set_weights(model_io.load_weights_orbax(orbax_path))
+        elif model_io.npz_is_reference_format(npz_path):
             from confignet_tpu.core.reference_import import load_reference_confignet
 
             model = load_reference_confignet(file_path)

@@ -176,7 +176,12 @@ def test_latent_gan_cli(dataset_paths, tmp_path):
     test_latent_gan_cli.model_path = os.path.join(out_dir, "checkpoints", "000000.json")
 
 
-def test_evaluate_controllability_cli(dataset_paths, classifier_path, tmp_path):
+# Both fine-tune iteration counts, matching the reference's
+# tests/evaluation_test.py:17-30 parametrization: 0 = plain encode path,
+# 1 = the per-image fine_tune_on_img branch (metrics/controllability.py:104-125).
+@pytest.mark.parametrize("n_fine_tuning_iters", [0, 1])
+def test_evaluate_controllability_cli(dataset_paths, classifier_path, tmp_path,
+                                      n_fine_tuning_iters):
     from confignet_tpu.apps import evaluate_confignet_controllability as ev
 
     model_path = getattr(test_train_confignet_cli, "model_path", None)
@@ -190,12 +195,21 @@ def test_evaluate_controllability_cli(dataset_paths, classifier_path, tmp_path):
         "--output_dir", out_dir,
         "--attribute_classifier_path", classifier_path,
         "--n_samples", "2",
+        "--n_fine_tuning_iters", str(n_fine_tuning_iters),
+        "--write_images",
     ])
     assert "controllability" in metrics
     files = os.listdir(out_dir)
     assert any(f.endswith(".json") for f in files)
     assert any(f.endswith(".csv") for f in files)
     assert any(f.endswith(".png") for f in files)
+    # --write_images dumps gt/raw/per-config image sets into a subdir
+    img_dirs = [f for f in files if f.startswith("contr_metrics_tuning_iters_%d" % n_fine_tuning_iters)
+                and os.path.isdir(os.path.join(out_dir, f))]
+    assert img_dirs, "image dump directory missing"
+    dumped = os.listdir(os.path.join(out_dir, img_dirs[0]))
+    assert any(f.startswith("gt_img_") for f in dumped)
+    assert any(f.startswith("raw_img_") for f in dumped)
 
 
 def test_demo_cli_all_modes(dataset_paths, tmp_path):

@@ -148,6 +148,32 @@ def test_r1_final_only_mode(dataset, tmp_path):
     assert np.isfinite(losses["d"]["loss_sum"])
 
 
+def test_orbax_checkpoint_format_save_load(model, tmp_path):
+    """checkpoint_format="orbax" saves a sharded directory instead of an
+    npz, and the standard load path (class loader + polymorphic
+    load_confignet) restores it transparently."""
+    from confignet_tpu.core.model_io import load_confignet
+
+    model.config["checkpoint_format"] = "orbax"
+    try:
+        model.save(str(tmp_path), "model")
+    finally:
+        model.config["checkpoint_format"] = "npz"
+
+    assert os.path.isdir(os.path.join(str(tmp_path), "model.orbax"))
+    assert not os.path.exists(os.path.join(str(tmp_path), "model.npz"))
+
+    restored = load_confignet(os.path.join(str(tmp_path), "model.json"))
+    orig = model.get_weights()
+    new = restored.get_weights()
+    for tree_name in orig:
+        flat_orig = jax.tree_util.tree_leaves(orig[tree_name])
+        flat_new = jax.tree_util.tree_leaves(new[tree_name])
+        assert len(flat_orig) == len(flat_new)
+        for a, b in zip(flat_orig, flat_new):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_orbax_checkpoint_roundtrip(model, tmp_path):
     from confignet_tpu.core.model_io import load_weights_orbax, save_weights_orbax
 
