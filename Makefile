@@ -5,7 +5,7 @@
 #   tf_parity   cross-framework parity vs the TensorFlow reference
 #   tpu         needs real TPU hardware (CONFIGNET_TPU_TEST_PLATFORM=tpu)
 
-.PHONY: test-fast test-slow test-all test-parity test-tpu test-pretrained bench bench-train lint
+.PHONY: test-fast test-slow test-all test-parity test-tpu test-pretrained import-release bench bench-train lint
 
 test-tpu:
 	CONFIGNET_TPU_TEST_PLATFORM=tpu python -m pytest tests/test_pallas_tpu.py -q
@@ -21,6 +21,12 @@ test-all:
 
 test-pretrained:
 	python -m pytest tests/test_pretrained.py -m pretrained -v
+
+# Release-acceptance gate: given the official model.zip (and optionally the
+# Keras backbone .h5s), unpack -> strict import -> golden-output contract ->
+# demo smoke, in one command.  Stays staged (exit 2) until artifacts exist.
+import-release:
+	python setup/import_release.py
 
 test-parity:
 	python -m pytest tests/test_tf_parity.py -q

@@ -88,3 +88,53 @@ def test_checkpoint_worker_orders_and_propagates_errors():
     w.drain()
     assert out[-1] == 9
     w.close()
+
+
+def test_import_release_gate_stages_without_artifacts(tmp_path):
+    """make import-release exits 2 ("staged") with a clear report when the
+    release artifacts are absent, without invoking pytest or the demo."""
+    import subprocess
+    import sys
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    result = subprocess.run(
+        [sys.executable, os.path.join(repo_root, "setup", "import_release.py")],
+        env={**os.environ, "CONFIGNET_TPU_MODELS_DIR": str(tmp_path),
+             "CONFIGNET_TPU_BACKBONES_DIR": str(tmp_path)},
+        capture_output=True, text=True, timeout=120,
+    )
+    assert result.returncode == 2, result.stdout + result.stderr
+    assert "No release artifacts found" in result.stdout
+    for d in ("confignet_256", "latentgan_512", "attribute_classifier"):
+        assert d in result.stdout
+
+
+def test_import_release_unzips_model_zip(tmp_path):
+    """A models/model.zip is unpacked in place (incl. the nested models/
+    layout some releases use) before the artifact check."""
+    import io
+    import sys
+    import zipfile
+
+    models_dir = tmp_path / "models"
+    models_dir.mkdir()
+    with zipfile.ZipFile(models_dir / "model.zip", "w") as zf:
+        zf.writestr("models/confignet_256/model.json", "{}")
+
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "setup"))
+    try:
+        import importlib
+
+        import import_release
+
+        importlib.reload(import_release)
+        old = import_release.MODELS_DIR
+        import_release.MODELS_DIR = str(models_dir)
+        try:
+            import_release._unzip_if_needed()
+        finally:
+            import_release.MODELS_DIR = old
+    finally:
+        sys.path.pop(0)
+    assert (models_dir / "confignet_256" / "model.json").exists()
