@@ -90,13 +90,34 @@ def _trace_sqrt_product(cov_g: np.ndarray, cov_r: np.ndarray) -> float:
 
 
 def compute_FID(features_g: np.ndarray, features_r: np.ndarray) -> float:
-    """Frechet inception distance (reference: inception_distance.py:29-43)."""
+    """Frechet inception distance (reference: inception_distance.py:29-43).
+
+    When either sample count is below the feature dim (the training-cadence
+    case: 64-256 samples vs 2048-dim InceptionV3 features), the covariance
+    product is rank-deficient and the trace-sqrt term is computed EXACTLY
+    from the small cross-Gram matrix: with centered, 1/sqrt(n-1)-scaled
+    feature matrices X_g, X_r, the nonzero eigenvalues of cov_g @ cov_r =
+    X_gt X_g X_rt X_r equal the squared singular values of C = X_g X_rt, so
+    tr sqrtm(cov_g cov_r) = sum sigma(C) — an (n_g x n_r) SVD instead of two
+    2048x2048 host eigendecompositions (~3 s of the per-checkpoint stall on
+    a 1-core host; pinned equal to the dense path in tests/test_metrics.py)."""
+    features_g = np.asarray(features_g, np.float64)
+    features_r = np.asarray(features_r, np.float64)
     mean_g = np.mean(features_g, axis=0)
     mean_r = np.mean(features_r, axis=0)
+    centroid_distance = float(np.linalg.norm(mean_g - mean_r) ** 2)
+
+    (n_g, dim), n_r = features_g.shape, features_r.shape[0]
+    if 2 <= min(n_g, n_r) and min(n_g, n_r) < dim:
+        x_g = (features_g - mean_g) / np.sqrt(n_g - 1.0)
+        x_r = (features_r - mean_r) / np.sqrt(n_r - 1.0)
+        trace_g = float(np.sum(x_g * x_g))  # tr(cov_g) without forming it
+        trace_r = float(np.sum(x_r * x_r))
+        trace_sqrt = float(np.sum(np.linalg.svd(x_g @ x_r.T, compute_uv=False)))
+        return centroid_distance + trace_g + trace_r - 2.0 * trace_sqrt
+
     cov_g = np.cov(features_g, rowvar=False)
     cov_r = np.cov(features_r, rowvar=False)
-
-    centroid_distance = float(np.linalg.norm(mean_g - mean_r) ** 2)
     trace_sqrt = _trace_sqrt_product(cov_g, cov_r)
     covariance_distance = float(np.trace(cov_g + cov_r)) - 2.0 * trace_sqrt
     return centroid_distance + covariance_distance
@@ -154,16 +175,21 @@ class InceptionMetrics:
                 dataset.imgs[idx]
             )
 
-    def get_metrics(self, generated_images: np.ndarray):
-        features = self.inception_feature_extractor.get_features(generated_images)
+    def get_metrics(self, generated_images: np.ndarray = None, features=None):
+        """Score generated images — or pre-extracted features, for callers
+        using the fused on-device generator->Inception path
+        (ConfigNetFirstStage._metric_features_for_latents)."""
+        if features is None:
+            features = self.inception_feature_extractor.get_features(generated_images)
         kid = compute_KID(features, self.gt_inception_features)
         fid = compute_FID(features, self.gt_inception_features)
         return kid, fid
 
     def update_and_log_metrics(self, images, metrics_dict, output_dir,
-                               aml_sink=None, tb_log_writer=None) -> None:
+                               aml_sink=None, tb_log_writer=None,
+                               features=None) -> None:
         os.makedirs(output_dir, exist_ok=True)
-        kid, fid = self.get_metrics(images)
+        kid, fid = self.get_metrics(images, features=features)
         metrics_dict.setdefault("kid", []).append(kid)
         metrics_dict.setdefault("fid", []).append(fid)
 

@@ -31,11 +31,7 @@ import numpy as np
 
 from confignet_tpu.core import model_io
 from confignet_tpu.core.config import merge_configs
-from confignet_tpu.core.images import (
-    batched_hflip,
-    build_image_matrix,
-    unit_range_to_uint8,
-)
+from confignet_tpu.core.images import batched_hflip, build_image_matrix
 from confignet_tpu.core.logging_utils import (
     LossFlusher,
     TensorBoardWriter,
@@ -206,6 +202,7 @@ class ConfigNetFirstStage:
         self._inception_metric_object = None
         self._train_step_fn = None
         self._generate_fn_cache: Dict[Tuple, Any] = {}
+        self._metric_features_fn_cache: Dict[Tuple, Any] = {}
 
         self.perceptual_loss = PerceptualLoss(
             tuple(self.config["output_shape"]),
@@ -1004,15 +1001,23 @@ class ConfigNetFirstStage:
         m = self._generator_input_for_metrics
         return self.generate_images(m["latent"], m["rotation"])
 
+    def _metric_latents_and_rotations(self):
+        """The (latent, rotation) pair FID/KID scores — stage 2 overrides to
+        encode the fixed real-image metric batch instead."""
+        m = self._generator_input_for_metrics
+        return m["latent"], m["rotation"]
+
     def calculate_metrics(self, output_dir: str, step_number: int = None) -> None:
         if self._inception_metric_object is None:
             return
         if step_number is None:
             step_number = self.get_training_step_number()
-        generated = self.generate_output_for_metrics()
+        latent, rotation = self._metric_latents_and_rotations()
+        features = self._metric_features_for_latents(latent, rotation)
         self.metrics.setdefault("training_step_number", []).append(step_number)
         self._inception_metric_object.update_and_log_metrics(
-            generated, self.metrics, output_dir, self.aml_sink, self.log_writer
+            None, self.metrics, output_dir, self.aml_sink, self.log_writer,
+            features=features,
         )
 
     # ------------------------------------------------------------------
@@ -1114,13 +1119,69 @@ class ConfigNetFirstStage:
     def _get_generate_fn(self, chunk: int):
         # Fine-tuned vs EMA weights are selected by
         # _generator_params_for_inference (overridden in second_stage); the
-        # compiled fn is weight-agnostic.
+        # compiled fn is weight-agnostic.  The [-1,1]->uint8 conversion runs
+        # ON DEVICE (same clip/scale/truncate arithmetic as
+        # core.images.unit_range_to_uint8, in f32) so the host transfer is
+        # 1 byte/px instead of 4 — on a tunnel-attached chip the transfer
+        # dominates the checkpoint-panel and metric-generation cost.
         if chunk not in self._generate_fn_cache:
             module = self.generator_module_fast
-            self._generate_fn_cache[chunk] = jax.jit(
-                lambda params, latent, rot: module.apply({"params": params}, latent, rot)
-            )
+
+            def generate_uint8(params, latent, rot):
+                img = module.apply({"params": params}, latent, rot)
+                img = (img.astype(jnp.float32) + 1.0) * 127.5
+                return jnp.clip(img, 0.0, 255.0).astype(jnp.uint8)
+
+            self._generate_fn_cache[chunk] = jax.jit(generate_uint8)
         return self._generate_fn_cache[chunk]
+
+    def _get_metric_features_fn(self, chunk: int):
+        """Fused generator->InceptionV3 features for FID/KID: the generated
+        images never cross to the host (64x2048 floats do instead of
+        n*HW*3 image bytes).  The in-graph uint8 quantization keeps the
+        metric semantics identical to scoring saved uint8 images."""
+        if chunk not in self._metric_features_fn_cache:
+            from confignet_tpu.models.backbones.inception import inception_preprocess
+
+            gen = self.generator_module_fast
+            incep = self._inception_metric_object.inception_feature_extractor.module
+
+            def fused(gen_params, incep_params, latent, rot):
+                img = gen.apply({"params": gen_params}, latent, rot)
+                img = (img.astype(jnp.float32) + 1.0) * 127.5
+                img = jnp.clip(img, 0.0, 255.0).astype(jnp.uint8).astype(jnp.float32)
+                return incep.apply(
+                    {"params": incep_params}, inception_preprocess(img)
+                ).astype(jnp.float32)
+
+            self._metric_features_fn_cache[chunk] = jax.jit(fused)
+        return self._metric_features_fn_cache[chunk]
+
+    def _metric_features_for_latents(self, latent_vectors, rotations,
+                                     batch_chunk: int = 64) -> np.ndarray:
+        """Chunked fused-path features (padding the tail, like
+        generate_images) for the metric latents."""
+        latent_vectors = np.asarray(latent_vectors, np.float32)
+        rotations = np.asarray(rotations, np.float32)
+        n = latent_vectors.shape[0]
+        chunk = min(batch_chunk, max(n, 1))
+        fn = self._get_metric_features_fn(chunk)
+        gen_params = self._generator_params_for_inference()
+        incep_params = (
+            self._inception_metric_object.inception_feature_extractor.variables["params"]
+        )
+        out = np.zeros((n, 2048), np.float32)
+        for start in range(0, n, chunk):
+            lat = latent_vectors[start : start + chunk]
+            rot = rotations[start : start + chunk]
+            pad = chunk - lat.shape[0]
+            if pad:
+                lat = np.concatenate([lat, np.repeat(lat[-1:], pad, axis=0)])
+                rot = np.concatenate([rot, np.repeat(rot[-1:], pad, axis=0)])
+            feats = np.asarray(fn(gen_params, incep_params,
+                                  jnp.asarray(lat), jnp.asarray(rot)))
+            out[start : start + chunk] = feats[: chunk - pad] if pad else feats
+        return out
 
     def _generator_params_for_inference(self):
         if self._inference_params_override is not None:
@@ -1145,12 +1206,13 @@ class ConfigNetFirstStage:
             if pad:
                 lat = np.concatenate([lat, np.repeat(lat[-1:], pad, axis=0)])
                 rot = np.concatenate([rot, np.repeat(rot[-1:], pad, axis=0)])
-            imgs = np.asarray(fn(params, jnp.asarray(lat), jnp.asarray(rot)), np.float32)
+            imgs = np.asarray(fn(params, jnp.asarray(lat), jnp.asarray(rot)))
             if pad:
                 imgs = imgs[:-pad]
             outputs.append(imgs)
-        images = np.concatenate(outputs, axis=0) if outputs else np.zeros((0,))
-        return unit_range_to_uint8(images)
+        if not outputs:
+            return np.zeros((0,), np.uint8)
+        return np.concatenate(outputs, axis=0)  # already uint8, on device
 
     def generate_images_from_facemodel(self, facemodel_params, rotations) -> np.ndarray:
         latents = np.asarray(

@@ -560,6 +560,15 @@ class ConfigNet(ConfigNetFirstStage):
         latent, rotation = self.encode_images(imgs)
         return self.generate_images(latent, rotation)
 
+    def _metric_latents_and_rotations(self):
+        """FID/KID scores the autoencoded metric batch in stage 2
+        (reference: confignet_second_stage.py:220-266): encode the fixed
+        real images, then the fused generator->Inception path takes over."""
+        imgs = self._generator_input_for_metrics.get("input_images")
+        if imgs is None:
+            return super()._metric_latents_and_rotations()
+        return self.encode_images(imgs)
+
     def calculate_metrics(self, output_dir: str, step_number: int = None) -> None:
         if step_number is None:
             step_number = self.get_training_step_number()

@@ -159,6 +159,25 @@ def test_controllability_metrics_end_to_end(classifier, rng, tmp_path):
     assert os.path.exists(os.path.join(str(tmp_path), "controllability_metrics.json"))
 
 
+def test_fid_lowrank_matches_dense(rng):
+    """compute_FID's small-sample Gram path (n < dim, the training-cadence
+    shape) must equal the dense covariance formulation exactly."""
+    from confignet_tpu.metrics.inception import _trace_sqrt_product, compute_FID
+
+    # n << d, asymmetric counts (64 generated vs 96 cached GT features)
+    a = rng.normal(size=(64, 256)).astype(np.float32)
+    b = rng.normal(size=(96, 256)).astype(np.float32) * 1.3 - 0.2
+
+    lowrank = compute_FID(a, b)
+
+    cov_a, cov_b = np.cov(a, rowvar=False), np.cov(b, rowvar=False)
+    mean_dist = float(np.linalg.norm(a.mean(0) - b.mean(0)) ** 2)
+    dense = mean_dist + float(np.trace(cov_a + cov_b)) \
+        - 2.0 * _trace_sqrt_product(cov_a, cov_b)
+
+    np.testing.assert_allclose(lowrank, dense, rtol=1e-6)
+
+
 def test_fid_eigh_matches_sqrtm(rng):
     """The eigh-based trace-of-sqrt-product must equal the reference's
     scipy.linalg.sqrtm formulation on PSD covariances."""
