@@ -44,6 +44,11 @@ ARMS = {
     "latreg_x10": ({"latent_regression_weight": 100.0}, 1),
     # Mechanism (c): 4x data, same steps — less memorization pressure.
     "data_x4": ({}, 4),
+    # (a)+(b) combined: the round-5 arms showed imgloss_x10 converging FID
+    # fastest (0.45 @ 2250) and latreg_x10 retaining pixel_delta longest —
+    # test whether the mechanisms stack.
+    "imgloss_latreg_x10": (
+        {"image_loss_weight": 0.0005, "latent_regression_weight": 100.0}, 1),
 }
 
 

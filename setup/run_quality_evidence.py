@@ -51,6 +51,12 @@ def parse_args(argv=None):
                         "attribute classifier trained on the procedural "
                         "labels (requires --stage2_steps)")
     p.add_argument("--classifier_epochs", type=int, default=6)
+    p.add_argument("--config_override", default=None,
+                   help="JSON dict merged over the stage-1 config (e.g. the "
+                        "winning ab_stage1_conditioning arm)")
+    p.add_argument("--stage2_config_override", default=None,
+                   help="JSON dict merged over the stage-2 config AFTER the "
+                        "x10 image-loss multiplication")
     return p.parse_args(argv)
 
 
@@ -100,6 +106,8 @@ def main(argv=None) -> None:
         "r1_heads": args.r1_heads,
         "seed": args.seed,
     }
+    if args.config_override:
+        config.update(json.loads(args.config_override))
     model = ConfigNetFirstStage(config)
 
     out_dir = os.path.abspath(args.out)
@@ -134,6 +142,8 @@ def main(argv=None) -> None:
         # The CLI multiplies image_loss_weight x10 for stage 2
         # (apps/train_confignet.py, matching reference train_confignet.py:66).
         config2["image_loss_weight"] = model.config["image_loss_weight"] * 10
+        if args.stage2_config_override:
+            config2.update(json.loads(args.stage2_config_override))
         model2 = ConfigNet(config2)
         model2.set_weights(model.get_weights())
         out2 = os.path.join(out_dir, "stage2")
