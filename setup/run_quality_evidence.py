@@ -54,6 +54,10 @@ def parse_args(argv=None):
     p.add_argument("--config_override", default=None,
                    help="JSON dict merged over the stage-1 config (e.g. the "
                         "winning ab_stage1_conditioning arm)")
+    p.add_argument("--stage1_checkpoint", default=None,
+                   help="skip stage-1 training: load this saved stage-1 "
+                        "model .json (e.g. an ab_stage1_conditioning arm "
+                        "checkpoint) and run the rest of the chain from it")
     p.add_argument("--stage2_config_override", default=None,
                    help="JSON dict merged over the stage-2 config AFTER the "
                         "x10 image-loss multiplication")
@@ -108,29 +112,46 @@ def main(argv=None) -> None:
     }
     if args.config_override:
         config.update(json.loads(args.config_override))
-    model = ConfigNetFirstStage(config)
 
     out_dir = os.path.abspath(args.out)
     log_dir = os.path.join(out_dir, "logs")
     os.makedirs(out_dir, exist_ok=True)
-    t0 = time.time()
-    model.train(ds, ds, out_dir, log_dir, n_steps=args.steps,
-                n_samples_for_metrics=args.n_samples_for_metrics)
-    wall = time.time() - t0
+    if args.stage1_checkpoint:
+        from confignet_tpu.core.model_io import load_confignet
 
-    trend = {
-        "config": {k: str(v) for k, v in config.items()},
-        "steps": args.steps,
-        "wall_seconds": round(wall, 1),
-        "steps_per_sec": round(args.steps / wall, 3),
-        "fid": [round(float(v), 4) for v in model.metrics.get("fid", [])],
-        "kid": [round(float(v), 6) for v in model.metrics.get("kid", [])],
-        "metrics_period": args.metrics_period,
-        "final_losses": {
-            "g_loss_sum": float(model.g_losses["loss_sum"][-1]),
-            "d_loss_sum": float(model.d_losses["loss_sum"][-1]),
-        },
-    }
+        model = load_confignet(args.stage1_checkpoint)
+        # Periods/config knobs still come from the CLI for the rest of
+        # the chain (the checkpoint's json carries its training-time ones).
+        model.config["metrics_checkpoint_period"] = args.metrics_period
+        model.config["image_checkpoint_period"] = args.image_period
+        config = dict(model.config)
+        trend = {
+            "config": {k: str(v) for k, v in config.items()},
+            "stage1_checkpoint": args.stage1_checkpoint,
+            "fid": [round(float(v), 4) for v in model.metrics.get("fid", [])],
+            "kid": [round(float(v), 6) for v in model.metrics.get("kid", [])],
+            "metrics_period": args.metrics_period,
+        }
+    else:
+        model = ConfigNetFirstStage(config)
+        t0 = time.time()
+        model.train(ds, ds, out_dir, log_dir, n_steps=args.steps,
+                    n_samples_for_metrics=args.n_samples_for_metrics)
+        wall = time.time() - t0
+
+        trend = {
+            "config": {k: str(v) for k, v in config.items()},
+            "steps": args.steps,
+            "wall_seconds": round(wall, 1),
+            "steps_per_sec": round(args.steps / wall, 3),
+            "fid": [round(float(v), 4) for v in model.metrics.get("fid", [])],
+            "kid": [round(float(v), 6) for v in model.metrics.get("kid", [])],
+            "metrics_period": args.metrics_period,
+            "final_losses": {
+                "g_loss_sum": float(model.g_losses["loss_sum"][-1]),
+                "d_loss_sum": float(model.d_losses["loss_sum"][-1]),
+            },
+        }
     if args.stage2_steps:
         # Stage 2: same dataset plays the "real" set (reference flow:
         # train_confignet.py stage 2 consumes a real dataset + the synth
