@@ -113,12 +113,19 @@ def main(argv=None) -> None:
 
     datasets = {}  # n_images -> dataset (shared across arms)
 
-    result = {
-        "steps": args.steps,
-        "param": "head_hair_color",
-        "img_size": args.img_size,
-        "arms": {},
-    }
+    # Merge into an existing evidence file so arms can be run/recovered
+    # across separate invocations (e.g. --arms subsets).
+    if os.path.exists(args.out):
+        with open(args.out) as fp:
+            result = json.load(fp)
+        result.setdefault("arms", {})
+    else:
+        result = {
+            "steps": args.steps,
+            "param": "head_hair_color",
+            "img_size": args.img_size,
+            "arms": {},
+        }
     arm_names = args.arms or list(ARMS)
     for name in arm_names:
         overrides, data_mult = ARMS[name]

@@ -56,6 +56,20 @@ def _checkpoints(ckpt_dir: str):
 
 
 def probe_checkpoint(path: str, param_name: str, values, batch: int, seed: int):
+    """Probe one checkpoint.  Frees JAX's compiled-executable caches on the
+    way out: every load_confignet builds a fresh model whose jitted
+    closures would otherwise accumulate for the life of the process —
+    probing the 40+ checkpoints of a 4-arm A/B run grew past 128 GB RSS
+    and got the round-5 run OOM-killed before this."""
+    try:
+        return _probe_checkpoint_body(path, param_name, values, batch, seed)
+    finally:
+        import jax
+
+        jax.clear_caches()
+
+
+def _probe_checkpoint_body(path: str, param_name: str, values, batch: int, seed: int):
     from confignet_tpu.core.model_io import load_confignet
 
     model = load_confignet(path)
