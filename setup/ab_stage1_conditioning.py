@@ -92,6 +92,9 @@ def run_arm(name, overrides, ds, out_root, steps, metrics_period,
 
 
 def main(argv=None) -> None:
+    from confignet_tpu.core.profiling import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
     p = argparse.ArgumentParser()
     p.add_argument("--out", required=True, help="output JSON path")
     p.add_argument("--work_dir", default="/tmp/ab_stage1_conditioning")

@@ -75,6 +75,9 @@ def run_arm(name, overrides, stage1_ckpt, ds, out_root, steps, metrics_period,
 
 
 def main(argv=None) -> None:
+    from confignet_tpu.core.profiling import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
     p = argparse.ArgumentParser()
     p.add_argument("--stage1_checkpoint", required=True,
                    help="stage-1 model .json to transfer from")

@@ -106,6 +106,9 @@ def _probe_checkpoint_body(path: str, param_name: str, values, batch: int, seed:
 
 
 def main(argv=None) -> None:
+    from confignet_tpu.core.profiling import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
     p = argparse.ArgumentParser()
     p.add_argument("--ckpt_dirs", nargs="+", required=True)
     p.add_argument("--out", required=True)

@@ -17,6 +17,9 @@ import os
 
 
 def main(argv=None) -> None:
+    from confignet_tpu.core.profiling import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
     p = argparse.ArgumentParser()
     p.add_argument("--arm_dir", required=True)
     p.add_argument("--out", required=True)

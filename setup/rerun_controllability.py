@@ -20,6 +20,9 @@ import time
 
 
 def main(argv=None) -> None:
+    from confignet_tpu.core.profiling import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
     p = argparse.ArgumentParser()
     p.add_argument("--checkpoint", required=True, help="stage-2 model .json")
     p.add_argument("--out", required=True)

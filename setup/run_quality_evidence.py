@@ -86,6 +86,9 @@ def _train_procedural_judge(ds, out_dir, epochs, img_size):
 
 
 def main(argv=None) -> None:
+    from confignet_tpu.core.profiling import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
     args = parse_args(argv)
     from confignet_tpu.core.randomness import initialize_random_seed
 
