@@ -33,14 +33,17 @@ import time
 
 ARMS = {
     # name -> config overrides applied on top of the stage-1 config after
-    # the CLI's x10 image-loss multiplication.
+    # the CLI's x10 image-loss multiplication.  The *_mult keys multiply the
+    # INHERITED stage-1 value (the round-5 winning arm already carries
+    # image_loss_weight x10 and latent_regression_weight x10, so absolute
+    # values would silently no-op).
     "baseline_imgx10": {},
     "img_x1": {"image_loss_weight_mult": 0.1},
     "domain_adv_off": {"domain_adverserial_loss_weight": 0.0},
-    # The latent-regression cycle loss (reference losses.py:85-90, weight 10)
-    # is the term that forces G to keep every latent slice pixel-visible —
-    # boost it to test whether it actively recovers conditioning strength.
-    "latreg_x10": {"latent_regression_weight": 100.0},
+    # The latent-regression cycle loss (reference losses.py:85-90) is the
+    # term that forces G to keep every latent slice pixel-visible — boost
+    # it further to test whether it actively recovers conditioning.
+    "latreg_boost": {"latent_regression_weight_mult": 10.0},
 }
 
 
@@ -55,6 +58,11 @@ def run_arm(name, overrides, stage1_ckpt, ds, out_root, steps, metrics_period,
     # (apps/train_confignet.py, matching reference train_confignet.py:66).
     mult = 10.0 * overrides.pop("image_loss_weight_mult", 1.0)
     config2["image_loss_weight"] = model1.config["image_loss_weight"] * mult
+    latreg_mult = overrides.pop("latent_regression_weight_mult", None)
+    if latreg_mult is not None:
+        config2["latent_regression_weight"] = (
+            model1.config.get("latent_regression_weight", 10.0) * latreg_mult
+        )
     config2["metrics_checkpoint_period"] = metrics_period
     config2["image_checkpoint_period"] = metrics_period
     config2.update(overrides)
