@@ -254,4 +254,9 @@ def main(argv=None) -> None:
 
 
 if __name__ == "__main__":
+    import sys
+
+    _here = os.path.dirname(os.path.abspath(__file__))
+    sys.path.insert(0, _here)
+    sys.path.insert(0, os.path.dirname(_here))
     main()
