@@ -30,6 +30,8 @@ def main(argv=None) -> None:
     p.add_argument("--n_images", type=int, default=1024)
     p.add_argument("--img_size", type=int, default=256)
     p.add_argument("--classifier_epochs", type=int, default=6)
+    p.add_argument("--classifier_steps_per_epoch", type=int, default=32)
+    p.add_argument("--classifier_lr", type=float, default=0.001)
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
 
@@ -47,7 +49,9 @@ def main(argv=None) -> None:
                                seed=args.seed)
     os.makedirs(args.out, exist_ok=True)
     clf, judge_acc = _train_procedural_judge(
-        ds, args.out, args.classifier_epochs, args.img_size)
+        ds, args.out, args.classifier_epochs, args.img_size,
+        steps_per_epoch=args.classifier_steps_per_epoch,
+        lr=args.classifier_lr)
     held_out = ProceduralFaceDataset(n_images=args.samples,
                                      img_size=args.img_size, seed=args.seed + 1)
     metrics_obj = ControllabilityMetrics(model, clf)

@@ -51,6 +51,8 @@ def parse_args(argv=None):
                         "attribute classifier trained on the procedural "
                         "labels (requires --stage2_steps)")
     p.add_argument("--classifier_epochs", type=int, default=6)
+    p.add_argument("--classifier_steps_per_epoch", type=int, default=32)
+    p.add_argument("--classifier_lr", type=float, default=0.001)
     p.add_argument("--config_override", default=None,
                    help="JSON dict merged over the stage-1 config (e.g. the "
                         "winning ab_stage1_conditioning arm)")
@@ -64,7 +66,8 @@ def parse_args(argv=None):
     return p.parse_args(argv)
 
 
-def _train_procedural_judge(ds, out_dir, epochs, img_size):
+def _train_procedural_judge(ds, out_dir, epochs, img_size,
+                            steps_per_epoch=32, lr=0.001):
     """Attribute classifier on the procedural faces + derived labels — the
     judge for the controllability protocol (reference counterpart:
     evaluation/train_attribute_classifier.py on CelebA)."""
@@ -77,9 +80,10 @@ def _train_procedural_judge(ds, out_dir, epochs, img_size):
         "input_shape": (img_size, img_size, 3),
         "predicted_attributes": list(ATTRIBUTE_NAMES),
         "batch_size": 32,
+        "optimizer": {"lr": lr},
     })
     clf_dir = os.path.join(out_dir, "attribute_classifier")
-    clf.train(ds, ds, clf_dir, n_epochs=epochs, steps_per_epoch=32)
+    clf.train(ds, ds, clf_dir, n_epochs=epochs, steps_per_epoch=steps_per_epoch)
     acc = float(clf.logs["val_binary_accuracy"][-1])
     print(f"procedural judge val accuracy: {acc:.3f}")
     return clf, acc
@@ -223,7 +227,9 @@ def main(argv=None) -> None:
             from confignet_tpu.metrics.controllability import ControllabilityMetrics
 
             clf, judge_acc = _train_procedural_judge(
-                ds, out_dir, args.classifier_epochs, args.img_size)
+                ds, out_dir, args.classifier_epochs, args.img_size,
+                steps_per_epoch=args.classifier_steps_per_epoch,
+                lr=args.classifier_lr)
             held_out = ProceduralFaceDataset(
                 n_images=args.controllability_samples,
                 img_size=args.img_size, seed=args.seed + 1)
