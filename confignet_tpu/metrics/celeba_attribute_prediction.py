@@ -34,6 +34,14 @@ DEFAULT_CONFIG: Dict[str, Any] = {
     "predicted_attributes": None,
     "optimizer": {"lr": 0.001},
     "batch_size": 32,
+    # Head-BN momentum; see _ClassifierHead.bn_momentum (0.99 = Keras
+    # parity with a pretrained trunk, ~0.9 for from-scratch training).
+    "head_bn_momentum": 0.99,
+    # Live trunk BatchNorm for from-scratch training (no pretrained .h5):
+    # the default frozen-stat trunk is built for imported Keras weights and
+    # barely trains from random init.  Incompatible with
+    # load_backbone_keras_weights.
+    "trainable_bn": False,
     "seed": 0,
 }
 
@@ -41,12 +49,20 @@ DEFAULT_CONFIG: Dict[str, Any] = {
 class _ClassifierHead(nn.Module):
     n_attributes: int
     dropout_rate: float = 0.5
+    # Keras default momentum.  For FROM-SCRATCH training (no pretrained
+    # trunk on this rig) use ~0.9: the trunk's FrozenBatchNorm layers are
+    # mode-independent affines, so this head BN is the only train/eval
+    # difference — at 0.99 its running stats lag ~100 steps behind the
+    # drifting features and eval-mode accuracy collapses to the priors
+    # (docs/evidence_judge_diagnosis.json, round 5).
+    bn_momentum: float = 0.99
 
     @nn.compact
     def __call__(self, features, train: bool = False):
         x = jnp.mean(features, axis=(1, 2))  # GAP
         x = nn.BatchNorm(
-            use_running_average=not train, momentum=0.99, epsilon=1e-3, name="bn"
+            use_running_average=not train, momentum=self.bn_momentum,
+            epsilon=1e-3, name="bn"
         )(x)
         x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
         x = nn.Dense(self.n_attributes, kernel_init=KERNEL_INIT, bias_init=BIAS_INIT,
@@ -56,12 +72,16 @@ class _ClassifierHead(nn.Module):
 
 class _ClassifierNet(nn.Module):
     n_attributes: int
+    head_bn_momentum: float = 0.99
+    trainable_bn: bool = False
 
     @nn.compact
     def __call__(self, images_0_255, train: bool = False):
-        x = mobilenet_preprocess(images_0_255)
-        feats = MobileNetV2(name="mobilenet")(x)
-        return _ClassifierHead(self.n_attributes, name="head")(feats, train=train)
+        x = mobilenet_preprocess(images_0_255.astype(jnp.float32))
+        feats = MobileNetV2(trainable_bn=self.trainable_bn,
+                            name="mobilenet")(x, train=train)
+        return _ClassifierHead(self.n_attributes, bn_momentum=self.head_bn_momentum,
+                               name="head")(feats, train=train)
 
 
 class CelebaAttributeClassifier:
@@ -77,7 +97,11 @@ class CelebaAttributeClassifier:
         self.initialize_dnn()
 
     def initialize_dnn(self) -> None:
-        self.module = _ClassifierNet(n_attributes=len(self.config["predicted_attributes"]))
+        self.module = _ClassifierNet(
+            n_attributes=len(self.config["predicted_attributes"]),
+            head_bn_momentum=float(self.config.get("head_bn_momentum", 0.99)),
+            trainable_bn=bool(self.config.get("trainable_bn", False)),
+        )
         dummy = jnp.zeros((1, *self.config["input_shape"]), jnp.float32)
         from confignet_tpu.core.init_cache import cached_init
 
@@ -95,6 +119,12 @@ class CelebaAttributeClassifier:
         """Import the standard Keras MobileNetV2 ``.h5`` (ImageNet, notop)
         into the backbone by creation order (the reference starts from the
         ImageNet-pretrained trunk, celeba_attribute_prediction.py:56)."""
+        if self.config.get("trainable_bn"):
+            raise ValueError(
+                "trainable_bn=True uses live nn.BatchNorm trees; the Keras "
+                "frozen-stat import targets FrozenBatchNorm params. Train "
+                "from scratch or set trainable_bn=False."
+            )
         from confignet_tpu.models.backbones.loader import load_keras_h5_ordered
         from confignet_tpu.models.backbones.mobilenet import mobilenet_conv_bn_order
 
@@ -152,17 +182,51 @@ class CelebaAttributeClassifier:
         if batch_size is None:
             batch_size = self.config["batch_size"]
         idx = np.random.randint(0, dataset.imgs.shape[0], batch_size)
-        imgs = np.copy(dataset.imgs[idx]).astype(np.float32)
         if add_noise:
+            imgs = np.copy(dataset.imgs[idx]).astype(np.float32)
             half = batch_size // 2
             imgs[:half] += np.random.normal(0, 0.05 * 127.5, imgs[:half].shape)
+        else:
+            # Feed uint8 and cast on device: the 32x256x256x3 batch is 6 MB
+            # instead of 25 MB over the tunnel (the train step was
+            # host-transfer-bound at ~1 step/s before this).
+            imgs = np.copy(dataset.imgs[idx])
         attributes = dataset.get_attribute_values(idx, self.config["predicted_attributes"])
         return imgs, attributes.astype(np.float32)
+
+    def _build_recalibrate_fn(self):
+        """Forward pass in train mode that ONLY refreshes batch_stats — the
+        standard BN re-estimation pass.  With a from-scratch trunk the GAP
+        feature scale drifts fast during training, so the head BN's running
+        stats are persistently stale at any momentum; re-estimating them
+        against the CURRENT parameters before eval removes the train/eval
+        gap exactly (the round-5 judge collapse — saturated constant
+        eval-mode outputs — was this)."""
+        def refresh(params, batch_stats, imgs):
+            _, mutated = self.module.apply(
+                {"params": params, "batch_stats": batch_stats},
+                imgs, train=True, rngs={"dropout": jax.random.PRNGKey(0)},
+                mutable=["batch_stats"],
+            )
+            return mutated["batch_stats"]
+
+        return jax.jit(refresh)
+
+    def recalibrate_batch_stats(self, dataset, n_batches: int = 30) -> None:
+        refresh = self._build_recalibrate_fn()
+        params = self.variables["params"]
+        batch_stats = self.variables.get("batch_stats", {})
+        for _ in range(n_batches):
+            imgs, _ = self.sample_batch_from_dataset(dataset)
+            batch_stats = refresh(params, batch_stats, jnp.asarray(imgs))
+        self.variables = {"params": params, "batch_stats": batch_stats}
+        self._predict_fn = None
 
     def train(self, training_set, validation_set, output_dir, n_epochs: int,
               steps_per_epoch: int) -> None:
         step_fn = self._build_train_step()
         eval_fn = self._build_eval_fn()
+        refresh_fn = self._build_recalibrate_fn()
 
         params = self.variables["params"]
         batch_stats = self.variables.get("batch_stats", {})
@@ -181,6 +245,11 @@ class CelebaAttributeClassifier:
                 )
                 epoch_losses.append(float(loss))
                 epoch_accs.append(float(acc))
+
+            # BN re-estimation against the current params before eval.
+            for _ in range(10):
+                imgs, _ = self.sample_batch_from_dataset(training_set)
+                batch_stats = refresh_fn(params, batch_stats, jnp.asarray(imgs))
 
             self.variables = {"params": params, "batch_stats": batch_stats}
             self.opt_state = opt_state
@@ -235,8 +304,9 @@ class CelebaAttributeClassifier:
         probabilities (reference: celeba_attribute_prediction.py:129-141)."""
         input_images = np.asarray(input_images)
         if input_images.dtype in (np.float32, np.float64):
-            input_images = (input_images + 1.0) * 127.5
-        input_images = input_images.astype(np.float32)
+            input_images = ((input_images + 1.0) * 127.5).astype(np.float32)
+        # uint8 inputs stay uint8 — the module casts on device (4x smaller
+        # host->device transfer per prediction chunk)
 
         target_shape = tuple(self.config["input_shape"])
         if input_images.shape[1:] != target_shape:

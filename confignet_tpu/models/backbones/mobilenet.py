@@ -35,32 +35,47 @@ def relu6(x):
     return jnp.minimum(jax.nn.relu(x), 6.0)
 
 
+def _make_norm(trainable_bn: bool, features: int, train: bool, name: str):
+    """FrozenBatchNorm (imported Keras inference stats — the parity path)
+    or a live nn.BatchNorm for FROM-SCRATCH training: without real batch
+    statistics the trunk is 50+ unnormalized conv layers, which trains to
+    little more than the label priors (docs/evidence_judge_diagnosis.json,
+    round 5)."""
+    if trainable_bn:
+        return nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                            epsilon=1e-3, name=name)
+    bn = FrozenBatchNorm(features, eps=1e-3, name=name)
+    return lambda x: bn(x)
+
+
 class InvertedResidual(nn.Module):
     in_channels: int
     out_channels: int
     stride: int
     expansion: int
     dtype: Optional[jnp.dtype] = None
+    trainable_bn: bool = False
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
+        norm = lambda feats, name: _make_norm(self.trainable_bn, feats, train, name)
         hidden = self.in_channels * self.expansion
         y = x
         if self.expansion != 1:
             y = nn.Conv(hidden, (1, 1), use_bias=False, kernel_init=KERNEL_INIT,
                         dtype=self.dtype, name="expand")(y)
-            y = FrozenBatchNorm(hidden, eps=1e-3, name="expand_bn")(y)
+            y = norm(hidden, "expand_bn")(y)
             y = relu6(y)
         y = nn.Conv(
             hidden, (3, 3), strides=(self.stride, self.stride), padding="SAME",
             feature_group_count=hidden, use_bias=False, kernel_init=KERNEL_INIT,
             dtype=self.dtype, name="depthwise",
         )(y)
-        y = FrozenBatchNorm(hidden, eps=1e-3, name="depthwise_bn")(y)
+        y = norm(hidden, "depthwise_bn")(y)
         y = relu6(y)
         y = nn.Conv(self.out_channels, (1, 1), use_bias=False, kernel_init=KERNEL_INIT,
                     dtype=self.dtype, name="project")(y)
-        y = FrozenBatchNorm(self.out_channels, eps=1e-3, name="project_bn")(y)
+        y = norm(self.out_channels, "project_bn")(y)
         if self.stride == 1 and self.in_channels == self.out_channels:
             y = y + x
         return y
@@ -70,12 +85,14 @@ class MobileNetV2(nn.Module):
     """Returns the final (B, H/32, W/32, 1280) feature map."""
 
     dtype: Optional[jnp.dtype] = None
+    trainable_bn: bool = False
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
+        norm = lambda feats, name: _make_norm(self.trainable_bn, feats, train, name)
         x = nn.Conv(32, (3, 3), strides=(2, 2), padding="SAME", use_bias=False,
                     kernel_init=KERNEL_INIT, dtype=self.dtype, name="stem")(x)
-        x = FrozenBatchNorm(32, eps=1e-3, name="stem_bn")(x)
+        x = norm(32, "stem_bn")(x)
         x = relu6(x)
 
         in_ch = 32
@@ -87,13 +104,14 @@ class MobileNetV2(nn.Module):
                     stride=stride if block_idx == 0 else 1,
                     expansion=expansion,
                     dtype=self.dtype,
+                    trainable_bn=self.trainable_bn,
                     name=f"stage{stage_idx}_block{block_idx}",
-                )(x)
+                )(x, train=train)
                 in_ch = out_ch
 
         x = nn.Conv(1280, (1, 1), use_bias=False, kernel_init=KERNEL_INIT,
                     dtype=self.dtype, name="head")(x)
-        x = FrozenBatchNorm(1280, eps=1e-3, name="head_bn")(x)
+        x = norm(1280, "head_bn")(x)
         return relu6(x)
 
 

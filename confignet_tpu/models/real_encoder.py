@@ -14,7 +14,7 @@ import numpy as np
 from flax import linen as nn
 
 from confignet_tpu.models.backbones.resnet import ResNet50, resnet50_preprocess
-from confignet_tpu.models.blocks import BIAS_INIT, KERNEL_INIT
+from confignet_tpu.models.blocks import BIAS_INIT
 
 
 class RealEncoder(nn.Module):
@@ -26,9 +26,18 @@ class RealEncoder(nn.Module):
     def __call__(self, input_img: jax.Array) -> Tuple[jax.Array, jax.Array]:
         features = ResNet50(dtype=self.dtype, name="resnet")(resnet50_preprocess(input_img))
 
+        # Both heads are ZERO-initialized (standard final-layer zero init):
+        # fresh encoders then emit the latent-space center + neutral pose, so
+        # decode(encode(x)) starts ON-manifold.  With the default dense init
+        # and a RANDOM-weight trunk (this rig has no pretrained .h5), the
+        # unnormalized ResNet features make initial embeddings enormous and
+        # the stage-2 autoencode starts from G-loss ~5e10 off-manifold
+        # garbage it may never recover from (round-5 chain,
+        # docs/TEST_RUNS.md).  Weight IMPORTS overwrite these params, so
+        # reference-release behavior is unaffected.
         raw_rotation = nn.Dense(
-            3, kernel_init=KERNEL_INIT, bias_init=BIAS_INIT, dtype=self.dtype,
-            name="rotation_regressor",
+            3, kernel_init=nn.initializers.zeros, bias_init=BIAS_INIT,
+            dtype=self.dtype, name="rotation_regressor",
         )(features)
         raw_rotation = jnp.tanh(raw_rotation)
         multiplier = np.pi * np.asarray(
@@ -38,7 +47,7 @@ class RealEncoder(nn.Module):
         scaled_rotation = raw_rotation * jnp.asarray(multiplier)
 
         embedding = nn.Dense(
-            self.latent_dim, kernel_init=KERNEL_INIT, bias_init=BIAS_INIT, dtype=self.dtype,
-            name="feature_to_latent",
+            self.latent_dim, kernel_init=nn.initializers.zeros, bias_init=BIAS_INIT,
+            dtype=self.dtype, name="feature_to_latent",
         )(features)
         return embedding, scaled_rotation

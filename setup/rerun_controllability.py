@@ -32,7 +32,12 @@ def main(argv=None) -> None:
     p.add_argument("--classifier_epochs", type=int, default=6)
     p.add_argument("--classifier_steps_per_epoch", type=int, default=32)
     p.add_argument("--classifier_lr", type=float, default=0.001)
-    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--judge_dir", default=None,
+                   help="reuse an already-trained judge (dir of json+npz "
+                        "checkpoints, e.g. a best_model dir) instead of "
+                        "retraining one")
+    p.add_argument("--samples_seed_offset", type=int, default=1,
+                   help="held-out set seed = --seed + this")
     args = p.parse_args(argv)
 
     from confignet_tpu.core.randomness import initialize_random_seed
@@ -45,15 +50,28 @@ def main(argv=None) -> None:
     from run_quality_evidence import _train_procedural_judge
 
     model = load_confignet(args.checkpoint)
-    ds = ProceduralFaceDataset(n_images=args.n_images, img_size=args.img_size,
-                               seed=args.seed)
     os.makedirs(args.out, exist_ok=True)
-    clf, judge_acc = _train_procedural_judge(
-        ds, args.out, args.classifier_epochs, args.img_size,
-        steps_per_epoch=args.classifier_steps_per_epoch,
-        lr=args.classifier_lr)
-    held_out = ProceduralFaceDataset(n_images=args.samples,
-                                     img_size=args.img_size, seed=args.seed + 1)
+    if args.judge_dir:
+        import glob
+
+        from confignet_tpu.metrics.celeba_attribute_prediction import (
+            CelebaAttributeClassifier,
+        )
+
+        judge_json = sorted(glob.glob(os.path.join(args.judge_dir, "*.json")))[-1]
+        clf = CelebaAttributeClassifier.load(judge_json)
+        judge_acc = float(clf.logs.get("val_binary_accuracy", [-1.0])[-1])
+        print(f"reusing judge {judge_json} (val acc {judge_acc:.3f})")
+    else:
+        ds = ProceduralFaceDataset(n_images=args.n_images,
+                                   img_size=args.img_size, seed=args.seed)
+        clf, judge_acc = _train_procedural_judge(
+            ds, args.out, args.classifier_epochs, args.img_size,
+            steps_per_epoch=args.classifier_steps_per_epoch,
+            lr=args.classifier_lr)
+    held_out = ProceduralFaceDataset(
+        n_images=args.samples, img_size=args.img_size,
+        seed=args.seed + args.samples_seed_offset)
     metrics_obj = ControllabilityMetrics(model, clf)
     history = {"training_step_number": [model.get_training_step_number()]}
     t0 = time.time()

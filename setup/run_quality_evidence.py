@@ -81,6 +81,9 @@ def _train_procedural_judge(ds, out_dir, epochs, img_size,
         "predicted_attributes": list(ATTRIBUTE_NAMES),
         "batch_size": 32,
         "optimizer": {"lr": lr},
+        # from-scratch recipe: live trunk BN + fast-tracking head BN
+        "trainable_bn": True,
+        "head_bn_momentum": 0.9,
     })
     clf_dir = os.path.join(out_dir, "attribute_classifier")
     clf.train(ds, ds, clf_dir, n_epochs=epochs, steps_per_epoch=steps_per_epoch)
