@@ -47,11 +47,24 @@ class FrozenBatchNorm(nn.Module):
         return x * inv + (bias - mean * inv)
 
 
+def _resnet_norm(norm: str, features: int, name: str):
+    """"frozen" = FrozenBatchNorm (imported Keras inference stats, the
+    parity/import path).  "group" = GroupNorm — STATELESS, so it slots into
+    the fused multi-player GAN step with no mutable batch_stats threading,
+    and gives a from-scratch trunk real normalization (a random-init
+    FrozenBN trunk barely trains: the round-5 judge/encoder pathology,
+    docs/TEST_RUNS.md)."""
+    if norm == "group":
+        return nn.GroupNorm(num_groups=min(32, features), name=name)
+    return FrozenBatchNorm(features, name=name)
+
+
 class BottleneckBlock(nn.Module):
     width: int
     stride: int = 1
     project_shortcut: bool = False
     dtype: Optional[jnp.dtype] = None
+    norm: str = "frozen"
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -61,25 +74,25 @@ class BottleneckBlock(nn.Module):
                 self.width * 4, (1, 1), strides=(self.stride, self.stride),
                 kernel_init=KERNEL_INIT, bias_init=BIAS_INIT, dtype=self.dtype, name="shortcut_conv",
             )(x)
-            shortcut = FrozenBatchNorm(self.width * 4, name="shortcut_bn")(shortcut)
+            shortcut = _resnet_norm(self.norm, self.width * 4, "shortcut_bn")(shortcut)
 
         y = nn.Conv(
             self.width, (1, 1), strides=(self.stride, self.stride),
             kernel_init=KERNEL_INIT, bias_init=BIAS_INIT, dtype=self.dtype, name="conv1",
         )(x)
-        y = FrozenBatchNorm(self.width, name="bn1")(y)
+        y = _resnet_norm(self.norm, self.width, "bn1")(y)
         y = jax.nn.relu(y)
         y = nn.Conv(
             self.width, (3, 3), padding="SAME",
             kernel_init=KERNEL_INIT, bias_init=BIAS_INIT, dtype=self.dtype, name="conv2",
         )(y)
-        y = FrozenBatchNorm(self.width, name="bn2")(y)
+        y = _resnet_norm(self.norm, self.width, "bn2")(y)
         y = jax.nn.relu(y)
         y = nn.Conv(
             self.width * 4, (1, 1),
             kernel_init=KERNEL_INIT, bias_init=BIAS_INIT, dtype=self.dtype, name="conv3",
         )(y)
-        y = FrozenBatchNorm(self.width * 4, name="bn3")(y)
+        y = _resnet_norm(self.norm, self.width * 4, "bn3")(y)
         return jax.nn.relu(y + shortcut)
 
 
@@ -89,6 +102,7 @@ class ResNet50(nn.Module):
     dtype: Optional[jnp.dtype] = None
     stage_sizes: Sequence[int] = (3, 4, 6, 3)
     stage_widths: Sequence[int] = (64, 128, 256, 512)
+    norm: str = "frozen"  # see _resnet_norm
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -97,7 +111,7 @@ class ResNet50(nn.Module):
             64, (7, 7), strides=(2, 2), padding="VALID",
             kernel_init=KERNEL_INIT, bias_init=BIAS_INIT, dtype=self.dtype, name="stem_conv",
         )(x)
-        x = FrozenBatchNorm(64, name="stem_bn")(x)
+        x = _resnet_norm(self.norm, 64, "stem_bn")(x)
         x = jax.nn.relu(x)
         x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), constant_values=-jnp.inf)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="VALID")
@@ -110,6 +124,7 @@ class ResNet50(nn.Module):
                     stride=stride,
                     project_shortcut=(block == 0),
                     dtype=self.dtype,
+                    norm=self.norm,
                     name=f"stage{stage + 1}_block{block + 1}",
                 )(x)
 

@@ -21,10 +21,15 @@ class RealEncoder(nn.Module):
     latent_dim: int
     rotation_ranges: Sequence[Sequence[float]]  # degrees, ((..),(..),(..))
     dtype: Optional[jnp.dtype] = None
+    # "frozen" (FrozenBatchNorm, the Keras-import/parity path) or "group"
+    # (stateless GroupNorm for FROM-SCRATCH training — see
+    # backbones.resnet._resnet_norm).
+    trunk_norm: str = "frozen"
 
     @nn.compact
     def __call__(self, input_img: jax.Array) -> Tuple[jax.Array, jax.Array]:
-        features = ResNet50(dtype=self.dtype, name="resnet")(resnet50_preprocess(input_img))
+        features = ResNet50(dtype=self.dtype, norm=self.trunk_norm,
+                            name="resnet")(resnet50_preprocess(input_img))
 
         # Both heads are ZERO-initialized (standard final-layer zero init):
         # fresh encoders then emit the latent-space center + neutral pose, so

@@ -74,6 +74,7 @@ class ConfigNet(ConfigNetFirstStage):
             latent_dim=self.config["latent_dim"],
             rotation_ranges=tuple(tuple(r) for r in self.config["rotation_ranges"]),
             dtype=self.compute_dtype,
+            trunk_norm=self.config.get("encoder_norm", "frozen"),
         )
         img1 = jnp.zeros((1, *self.config["output_shape"]), jnp.float32)
         from confignet_tpu.core.init_cache import cached_init
@@ -85,6 +86,12 @@ class ConfigNet(ConfigNetFirstStage):
         from confignet_tpu.core.pretrained import backbone_path
 
         resnet_h5 = backbone_path(self.config.get("backbones_dir"), "resnet50")
+        if resnet_h5 is not None and self.config.get("encoder_norm", "frozen") != "frozen":
+            raise ValueError(
+                "encoder_norm != 'frozen' uses GroupNorm trees; the Keras "
+                "ResNet50 import targets FrozenBatchNorm params. Use the "
+                "default encoder_norm with pretrained backbones."
+            )
         if resnet_h5 is not None:
             from confignet_tpu.models.backbones.loader import load_keras_h5_mapped
             from confignet_tpu.models.backbones.resnet import resnet50_keras_name_map

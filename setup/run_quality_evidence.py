@@ -255,7 +255,8 @@ def main(argv=None) -> None:
     with open(os.path.join(out_dir, "quality_trend.json"), "w") as fp:
         json.dump(trend, fp, indent=2)
     print(json.dumps({k: trend[k] for k in ("steps", "wall_seconds",
-                                            "steps_per_sec", "fid", "kid")}))
+                                            "steps_per_sec", "fid", "kid")
+                      if k in trend}))
     if args.stage2_steps:
         print(json.dumps({"stage2": {k: trend["stage2"][k] for k in
                                      ("steps", "wall_seconds", "steps_per_sec",

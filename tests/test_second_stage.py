@@ -175,3 +175,30 @@ def test_stage2_async_gate_is_multiprocess_safe(model, dataset, tmp_path, monkey
     assert model._checkpoint_worker is None
     # and a no-op window never reports negative steps
     assert stats["steps_run"] == 0
+
+
+def test_encoder_group_norm_trunk():
+    """`encoder_norm: "group"` swaps the ResNet trunk's FrozenBatchNorm for
+    stateless GroupNorm — the from-scratch recipe (a random-init FrozenBN
+    trunk barely trains and collapses the encoder; docs/TEST_RUNS.md r5).
+    The group trunk must carry learnable scale/bias params, produce
+    per-image (input-dependent) latents, and still accept stage-1 weights."""
+    cfg = dict(TINY_FIRST_STAGE_CONFIG)
+    cfg["encoder_norm"] = "group"
+    stage2 = ConfigNet(cfg)
+
+    enc = stage2.state.generator.params["real_encoder"]
+    flat = {"/".join(str(p) for p in path): leaf
+            for path, leaf in jax.tree_util.tree_flatten_with_path(enc)[0]}
+    gn_keys = [k for k in flat if "stem_bn" in k]
+    assert gn_keys, sorted(flat)[:5]
+    # GroupNorm has scale+bias only (no frozen moving mean/var)
+    assert not any("mean" in k or "var" in k for k in flat)
+
+    imgs = np.random.default_rng(0).integers(0, 256, (2, 128, 128, 3), dtype=np.uint8)
+    latents, _ = stage2.encode_images(imgs)
+    assert latents.shape == (2, stage2.config["latent_dim"])
+
+    stage1 = ConfigNetFirstStage(dict(TINY_FIRST_STAGE_CONFIG))
+    stage2.set_weights(stage1.get_weights())  # must not clobber the GN encoder
+    assert "real_encoder" in stage2.state.generator.params
