@@ -104,6 +104,12 @@ DEFAULT_CONFIG: Dict[str, Any] = {
     "image_loss_weight": 0.00005,
     "eye_loss_weight": 5,
     "domain_adverserial_loss_weight": 5.0,
+    # Optional pixel-space L1 alongside the perceptual image loss (0.0 =
+    # reference-exact semantics).  Random-init VGG features under-anchor
+    # COLOR, so in the from-scratch evidence regime the facemodel color
+    # params (hair/eye) stay nearly invisible in the render; a small L1
+    # anchors param->pixel directly (docs/TEST_RUNS.md round 5).
+    "pixel_loss_weight": 0.0,
     # TPU-native extensions (absent keys in reference configs just take
     # these defaults on load):
     "n_generator_features": 256,
@@ -386,6 +392,7 @@ class ConfigNetFirstStage:
     def _build_train_step(self):
         cfg = self.config
         w_img = cfg["image_loss_weight"]
+        w_pix = cfg.get("pixel_loss_weight", 0.0)
         w_eye = cfg["eye_loss_weight"]
         w_dom = cfg["domain_adverserial_loss_weight"]
         w_reg = cfg["latent_regression_weight"]
@@ -404,6 +411,8 @@ class ConfigNetFirstStage:
 
             gt = self._to_unit_range(batch["g_gt_imgs"])
             losses["image_loss"] = w_img * self.perceptual_loss.loss_fn(vgg_params, gt, out_synth)
+            if w_pix > 0.0:
+                losses["pixel_loss"] = w_pix * jnp.mean(jnp.abs(gt - out_synth))
             losses["eye_loss"] = w_eye * eye_loss(gt, out_synth, batch["g_eye_masks"])
 
             for i, head in enumerate(self._synth_disc_apply(synth_disc_params, out_synth).values()):

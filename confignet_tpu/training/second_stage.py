@@ -152,6 +152,7 @@ class ConfigNet(ConfigNetFirstStage):
     def _build_train_step(self):
         cfg = self.config
         w_img = cfg["image_loss_weight"]
+        w_pix = cfg.get("pixel_loss_weight", 0.0)
         w_eye = cfg["eye_loss_weight"]
         w_dom = cfg["domain_adverserial_loss_weight"]
         w_reg = cfg["latent_regression_weight"]
@@ -181,6 +182,12 @@ class ConfigNet(ConfigNetFirstStage):
             losses["image_loss_real"] = w_img * self.perceptual_loss.loss_fn(
                 vgg_params, real_imgs, out_real
             )
+            if w_pix > 0.0:
+                # Same pixel-space L1 anchor as stage 1 (see
+                # first_stage DEFAULT_CONFIG["pixel_loss_weight"]), applied
+                # to both the synth autoencode and the real reconstruction.
+                losses["pixel_loss_synth"] = w_pix * jnp.mean(jnp.abs(gt_synth - out_synth))
+                losses["pixel_loss_real"] = w_pix * jnp.mean(jnp.abs(real_imgs - out_real))
             losses["eye_loss"] = w_eye * eye_loss(gt_synth, out_synth, batch["g_eye_masks"])
 
             for i, head in enumerate(self._synth_disc_apply(synth_disc_params, out_synth).values()):

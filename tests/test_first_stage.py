@@ -321,3 +321,21 @@ def test_resumed_train_keeps_checkpointing(dataset, tmp_path):
     imgs = os.listdir(os.path.join(str(tmp_path), "output_imgs"))
     assert any(f.startswith("000004") for f in imgs)
     assert any(f.startswith("000006") for f in imgs)
+
+
+@pytest.mark.slow
+def test_pixel_loss_opt_in(dataset, tmp_path):
+    """pixel_loss_weight > 0 adds a pixel-space L1 term to the G player
+    (the from-scratch color anchor — random-VGG perceptual features
+    under-anchor color; docs/TEST_RUNS.md round 5); 0.0 (the default)
+    keeps reference-exact loss structure."""
+    cfg = dict(TINY_FIRST_STAGE_CONFIG, pixel_loss_weight=100.0)
+    model = ConfigNetFirstStage(cfg)
+    model.setup_training(str(tmp_path), dataset, n_samples_for_metrics=2)
+    step_fn = model._build_train_step()
+    vgg_params = model.perceptual_loss.variables["params"]
+    batch = model._sample_host_batch(dataset, dataset)
+    model.state, losses = step_fn(model.state, model.keychain.next(), batch, vgg_params)
+    losses = jax.device_get(losses)
+    assert np.isfinite(losses["g"]["pixel_loss"])
+    assert losses["g"]["pixel_loss"] > 0.0
