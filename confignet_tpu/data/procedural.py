@@ -107,7 +107,10 @@ def derive_attributes(params: Dict[str, np.ndarray]) -> Dict[str, int]:
              for name, anchor in HAIR_COLOR_ANCHORS.items()}
     nearest = min(dists, key=dists.get)
     labels = {name: int(name == nearest) for name in HAIR_COLOR_ANCHORS}
-    labels["Mouth_Slightly_Open"] = int(expr["jaw_open"] > 0.1)
+    # 0.35, not ~0: a jaw_open of 0.1 renders a ~1px opening at 256px —
+    # label-invisible — and puts ~90% of uniform draws in the positive
+    # class.  0.35 gives a clearly-rendered opening AND ~2:1 balance.
+    labels["Mouth_Slightly_Open"] = int(expr["jaw_open"] > 0.35)
     labels["Smiling"] = int(expr["smile"] > 0.5)
     labels["Narrow_Eyes"] = int(expr["eye_open"] < 0.74)
     labels["Mustache"] = int(_mustache_opacity(params) > 0.5)
@@ -162,17 +165,32 @@ def _render_face(size: int, yaw: float, pitch: float, params: Dict[str, np.ndarr
     eye_y = cy - 0.06 + feat_y
     eye_shift = 0.045 * np.sin(yaw)  # both eyes slide with yaw (parallax)
     # lids: blink narrows the eye opening, wide opens it further
+    # Lid height uses a 1.6-power curve so Narrow_Eyes renders as a clear
+    # slit (eye_open 0.15 -> ~0.3px vs ~0.8px linear at 256px) while wide
+    # eyes open further — the round-5 judge could barely separate the
+    # linear rendering on clean GT (acc 0.72).
     eye_open = expr["eye_open"]
+    lid_h = 0.024 * eye_open ** 1.6
     for side in (-1, 1):
         ex = cx + side * eye_dx + eye_shift
-        E((ex, eye_y), (0.035, 0.022 * eye_open), (245, 245, 245))
-        E((ex, eye_y), (0.016, min(0.016, 0.022 * eye_open)), eye, mask=eye_mask)
+        E((ex, eye_y), (0.035, lid_h), (245, 245, 245))
+        E((ex, eye_y), (0.016, min(0.016, lid_h)), eye, mask=eye_mask)
 
     # mouth: width follows smile (frown narrows it), opening follows jaw_open
     mouth_y = cy + 0.16 + feat_y
     mouth_w = 0.07 * (1.0 + 0.6 * smile) * (1.0 - 0.4 * expr["frown"])
-    mouth_h = 0.008 + 0.05 * jaw_open
+    mouth_h = 0.006 + 0.055 * jaw_open
     E((cx + eye_shift, mouth_y), (mouth_w, mouth_h), (40, 40, 150))
+    # smile: an up-curved corner stroke (lower ellipse arc, the "U" shape)
+    # whose span/thickness grow with the smile scalar — curvature is the
+    # judge-visible cue; width alone is confounded with head width and yaw
+    # (round-5 judge GT acc on Smiling was chance with width-only).
+    if smile > 0.05:
+        c = (int((cx + eye_shift) * size), int((mouth_y - 0.01) * size))
+        a = (max(1, int(mouth_w * (1.0 + 0.3 * smile) * size)),
+             max(1, int((0.015 + 0.035 * smile) * size)))
+        cv2.ellipse(img, c, a, 0, 15, 165, (40, 40, 150),
+                    max(1, int(smile * 0.012 * size)))
 
     # mustache: dark band above the mouth, opacity driven by the first
     # beard-PCA component (the axis separating the protocol's exemplars).
