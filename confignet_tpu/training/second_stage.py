@@ -184,10 +184,14 @@ class ConfigNet(ConfigNetFirstStage):
             )
             if w_pix > 0.0:
                 # Same pixel-space L1 anchor as stage 1 (see
-                # first_stage DEFAULT_CONFIG["pixel_loss_weight"]), applied
-                # to both the synth autoencode and the real reconstruction.
+                # first_stage DEFAULT_CONFIG["pixel_loss_weight"]) — SYNTH
+                # PAIR ONLY.  Applying it to the real-reconstruction pair
+                # while the encoder is still uninformative teaches G to
+                # emit the dataset-mean image (the L1-minimizer of
+                # arbitrary targets given constant latents), which actively
+                # collapses latent use — observed as identical
+                # reconstructions for every input in the round-5 r5e run.
                 losses["pixel_loss_synth"] = w_pix * jnp.mean(jnp.abs(gt_synth - out_synth))
-                losses["pixel_loss_real"] = w_pix * jnp.mean(jnp.abs(real_imgs - out_real))
             losses["eye_loss"] = w_eye * eye_loss(gt_synth, out_synth, batch["g_eye_masks"])
 
             for i, head in enumerate(self._synth_disc_apply(synth_disc_params, out_synth).values()):

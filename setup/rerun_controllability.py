@@ -36,6 +36,7 @@ def main(argv=None) -> None:
                    help="reuse an already-trained judge (dir of json+npz "
                         "checkpoints, e.g. a best_model dir) instead of "
                         "retraining one")
+    p.add_argument("--seed", type=int, default=0)
     p.add_argument("--samples_seed_offset", type=int, default=1,
                    help="held-out set seed = --seed + this")
     args = p.parse_args(argv)
