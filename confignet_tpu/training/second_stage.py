@@ -153,6 +153,7 @@ class ConfigNet(ConfigNetFirstStage):
         cfg = self.config
         w_img = cfg["image_loss_weight"]
         w_pix = cfg.get("pixel_loss_weight", 0.0)
+        w_inv = cfg.get("encoder_inversion_weight", 0.0)
         w_eye = cfg["eye_loss_weight"]
         w_dom = cfg["domain_adverserial_loss_weight"]
         w_reg = cfg["latent_regression_weight"]
@@ -192,6 +193,19 @@ class ConfigNet(ConfigNetFirstStage):
                 # collapses latent use — observed as identical
                 # reconstructions for every input in the round-5 r5e run.
                 losses["pixel_loss_synth"] = w_pix * jnp.mean(jnp.abs(gt_synth - out_synth))
+            if w_inv > 0.0:
+                # GAN-inversion objective for the ENCODER alone: reconstruct
+                # the real image through a stop-gradient generator so the
+                # gradient flows only into encoder params — the encoder must
+                # produce input-dependent latents to reduce it, while G
+                # cannot satisfy it by regressing to the dataset mean (the
+                # r5e failure mode of a naive real-pair L1).
+                out_real_frozen = self._gen_apply(
+                    jax.tree_util.tree_map(
+                        jax.lax.stop_gradient, gen_player_params["generator"]),
+                    real_latents, real_rotations)
+                losses["encoder_inversion_loss"] = w_inv * jnp.mean(
+                    jnp.abs(real_imgs - out_real_frozen))
             losses["eye_loss"] = w_eye * eye_loss(gt_synth, out_synth, batch["g_eye_masks"])
 
             for i, head in enumerate(self._synth_disc_apply(synth_disc_params, out_synth).values()):
